@@ -1,0 +1,93 @@
+"""Global configuration flags.
+
+TPU-native re-design of the reference's ``GLOBAL_FLAG`` system
+(reference: graphlearn/src/include/config.h:28-109, defaults in
+common/base/config.cc:77-115, Python mirror python/config.py:23-127).
+
+Unlike the reference (C++ globals mirrored through pybind setters), flags here
+are a single Python dataclass-like registry.  Flags that only made sense for
+the gRPC server stack (timeouts, retry counts, channel sizes) are kept where
+they still have a meaning for the host-side pipeline, and dropped where the
+capability is subsumed by XLA (e.g. thread-pool sizing -> XLA runtime).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class _Config:
+    # --- data / ingest -------------------------------------------------
+    # reference: config.h DataInitBatchSize (ingest request batch)
+    data_init_batch_size: int = 10240
+    # reference: config.h FieldDelimiter ("\t")
+    field_delimiter: str = "\t"
+    # reference: config.h Padding mode: 0 = replicate, 1 = circular
+    padding_mode: int = 1
+    # reference: config.h DefaultNeighborId (fill for zero-degree seeds)
+    default_neighbor_id: int = 0
+    # reference: config.h SamplingRetryTimes (filter rejection retries)
+    sampling_retry_times: int = 5
+    # reference: config.h DefaultFullNbrNum — cap for "full" neighbor
+    # sampling.  On TPU this is also the static padded width of the
+    # segment-CSR result, so it is shape-affecting.
+    default_full_nbr_num: int = 100
+    # reference: config.h DefaultIntAttribute / FloatAttribute / StringAttribute
+    default_int_attr: int = 0
+    default_float_attr: float = 0.0
+    default_string_attr: str = ""
+    # --- dataset / pipeline -------------------------------------------
+    # reference: config.h DatasetCapacity (client prefetch ring)
+    dataset_capacity: int = 10
+    # reference: config.h TapeCapacity — subsumed by host prefetch depth
+    tape_capacity: int = 10
+    # --- device placement ---------------------------------------------
+    # Store graph feature tables on device (HBM) vs host RAM.
+    storage_device: str = "device"  # "device" | "host"
+    # dtype for float features / activations on device
+    feature_dtype: str = "float32"
+    compute_dtype: str = "float32"
+    # Use Pallas kernels where available (else XLA segment ops).
+    use_pallas: bool = True
+    # --- distributed ---------------------------------------------------
+    # number of graph shards (mesh axis 'graph'); 1 = single device store
+    graph_shards: int = 1
+    # reference: config.h KnnMetric: 0 = L2, 1 = inner product
+    knn_metric: int = 0
+    # --- misc ----------------------------------------------------------
+    seed: int = 0
+    # reference: config.h StorageMode (2 = compressed/CSR).  We are always
+    # CSR; kept for API compat.
+    storage_mode: int = 2
+
+
+conf = _Config()
+
+
+def _make_setter(field: str):
+    def setter(value):
+        setattr(conf, field, value)
+
+    setter.__name__ = "set_" + field
+    return setter
+
+
+# gl.set_* surface mirroring reference python/config.py.
+set_field_delimiter = _make_setter("field_delimiter")
+set_padding_mode = _make_setter("padding_mode")
+set_default_neighbor_id = _make_setter("default_neighbor_id")
+set_retry_times = _make_setter("sampling_retry_times")
+set_default_full_nbr_num = _make_setter("default_full_nbr_num")
+set_default_int_attribute = _make_setter("default_int_attr")
+set_default_float_attribute = _make_setter("default_float_attr")
+set_default_string_attribute = _make_setter("default_string_attr")
+set_dataset_capacity = _make_setter("dataset_capacity")
+set_tape_capacity = _make_setter("tape_capacity")
+set_storage_mode = _make_setter("storage_mode")
+set_knn_metric = _make_setter("knn_metric")
+set_seed = _make_setter("seed")
+set_use_pallas = _make_setter("use_pallas")
+set_storage_device = _make_setter("storage_device")
+set_graph_shards = _make_setter("graph_shards")

@@ -1,0 +1,431 @@
+"""HBM-resident graph store: node tables + per-edge-type CSR.
+
+TPU-native redesign of the reference storage layer
+(reference: graphlearn/src/core/graph/graph_store.h:33-66,
+storage/memory_adj_matrix.cc:51-150, storage/compressed_memory_graph_storage.cc,
+storage/auto_indexing.cc).  Instead of vector-of-vector adjacency behind a
+singleton served over gRPC, the graph is built once on the host as flat numpy
+CSR arrays and transferred to device HBM; every sampler is then a jitted
+gather over these static-shape arrays.
+
+Design points:
+- ids: arbitrary int64 source ids are remapped to dense int32 indices at
+  build (the reference's ``AutoIndex``); all device traffic uses dense
+  indices, raw ids are a [N] lookup array.
+- adjacency order: per-row neighbors sorted by timestamp asc if
+  timestamped, else weight desc if weighted, else insertion order —
+  matching memory_adj_matrix.cc:60-66/105-150, so top-k sampling is
+  "first k of the row".
+- a second per-row ordering sorted by neighbor id supports O(log d)
+  membership bisection (negative sampling, subgraph induction) without
+  hash sets.
+- per-row normalised cumulative weights support inverse-CDF weighted
+  sampling (replaces the reference's AliasMethod,
+  sampler/alias_method.cc:29-49 — bisection is branch-free and needs no
+  table build, a better fit for the VPU than alias tables).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from graph_learn_tpu.config import conf
+from graph_learn_tpu.core.schema import Decoder
+from graph_learn_tpu.errors import InvalidArgumentError, NotFoundError
+
+
+# ---------------------------------------------------------------------------
+# Device-side views (pytrees passed into jitted plan functions)
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class DeviceNodeTable:
+    """Per-node-type payload arrays, device-resident."""
+
+    raw_ids: jax.Array  # [N] int64
+    int_attrs: Optional[jax.Array] = None  # [N, ni] int32
+    float_attrs: Optional[jax.Array] = None  # [N, nf] f32
+    multival_attrs: Optional[jax.Array] = None  # [N, nm, L] int32
+    multival_lens: Optional[jax.Array] = None  # [N, nm] int32
+    weights: Optional[jax.Array] = None  # [N] f32
+    labels: Optional[jax.Array] = None  # [N] int32
+    timestamps: Optional[jax.Array] = None  # [N] int64
+    # cumulative normalised node weights for node_weight negative sampling
+    cum_weights: Optional[jax.Array] = None  # [N] f32
+
+    @property
+    def num_nodes(self) -> int:
+        return self.raw_ids.shape[0]
+
+
+@struct.dataclass
+class DeviceCSR:
+    """One direction of adjacency in CSR form."""
+
+    row_offsets: jax.Array  # [Nrow+1] int32
+    nbr_ids: jax.Array  # [E] int32 dense neighbor indices (build order)
+    nbr_edge_ids: jax.Array  # [E] int32 edge row indices (build order)
+    # id-sorted ordering of the same rows, for bisection membership:
+    nbr_ids_sorted: jax.Array  # [E] int32, ascending within each row
+    nbr_edge_ids_sorted: jax.Array  # [E] int32
+    # inverse-CDF tables (None unless the matching sampler is enabled):
+    cum_weights: Optional[jax.Array] = None  # [E] f32, per-row normalised cumsum
+    cum_in_degrees: Optional[jax.Array] = None  # [E] f32, per-row, ∝ dst in-degree
+
+    @property
+    def num_rows(self) -> int:
+        return self.row_offsets.shape[0] - 1
+
+    @property
+    def num_edges(self) -> int:
+        return self.nbr_ids.shape[0]
+
+    def degrees(self) -> jax.Array:
+        return self.row_offsets[1:] - self.row_offsets[:-1]
+
+
+@struct.dataclass
+class DeviceEdgeTable:
+    """Per-edge-type topology (both directions) + edge payload."""
+
+    out: DeviceCSR  # src -> dst
+    inc: DeviceCSR  # dst -> src (incoming)
+    src: jax.Array  # [E] int32, edge-row order
+    dst: jax.Array  # [E] int32
+    int_attrs: Optional[jax.Array] = None
+    float_attrs: Optional[jax.Array] = None
+    multival_attrs: Optional[jax.Array] = None
+    multival_lens: Optional[jax.Array] = None
+    weights: Optional[jax.Array] = None  # [E] f32
+    labels: Optional[jax.Array] = None
+    timestamps: Optional[jax.Array] = None  # [E] int64
+
+    @property
+    def num_edges(self) -> int:
+        return self.src.shape[0]
+
+
+@struct.dataclass
+class DeviceNodeSet:
+    """A traversable seed set (masked split or full table)."""
+
+    indices: jax.Array  # [M] int32 dense indices into the base node table
+    weights: Optional[jax.Array] = None  # [M] f32
+
+
+# ---------------------------------------------------------------------------
+# Host-side build
+# ---------------------------------------------------------------------------
+
+
+def _put(x):
+    return jnp.asarray(x)
+
+
+def _opt_put(x):
+    return None if x is None else jnp.asarray(x)
+
+
+class IdIndex:
+    """raw int64 id -> dense int32 index (reference AutoIndex)."""
+
+    def __init__(self, raw_ids: np.ndarray):
+        self.raw_ids = raw_ids.astype(np.int64)
+        order = np.argsort(self.raw_ids, kind="stable")
+        self._sorted = self.raw_ids[order]
+        self._perm = order.astype(np.int32)
+        if self._sorted.size and np.any(self._sorted[1:] == self._sorted[:-1]):
+            raise InvalidArgumentError("duplicate node ids in table")
+
+    def __len__(self):
+        return self.raw_ids.size
+
+    def lookup(self, ids: np.ndarray, strict: bool = True) -> np.ndarray:
+        ids = np.asarray(ids, dtype=np.int64)
+        pos = np.searchsorted(self._sorted, ids)
+        pos = np.clip(pos, 0, max(len(self._sorted) - 1, 0))
+        found = self._sorted[pos] == ids if len(self._sorted) else np.zeros(ids.shape, bool)
+        if strict and not np.all(found):
+            missing = ids[~found]
+            raise NotFoundError(
+                "%d ids not present in node table (e.g. %r)"
+                % (missing.size, missing[:5].tolist()))
+        out = self._perm[pos].astype(np.int32)
+        out[~found] = -1
+        return out
+
+
+class NodeTable:
+    """Host-side node table (numpy) + lazily-created device view."""
+
+    def __init__(self, type_name: str, decoder: Decoder, raw_ids: np.ndarray,
+                 int_attrs=None, float_attrs=None, multival_attrs=None,
+                 multival_lens=None, weights=None, labels=None,
+                 timestamps=None):
+        self.type_name = type_name
+        self.decoder = decoder
+        self.raw_ids = raw_ids.astype(np.int64)
+        self.index = IdIndex(self.raw_ids)
+        n = len(self.raw_ids)
+
+        def chk(a, name, dtype):
+            if a is None:
+                return None
+            a = np.asarray(a, dtype=dtype)
+            if a.shape[0] != n:
+                raise InvalidArgumentError(
+                    "%s rows %d != ids %d for %s" % (name, a.shape[0], n, type_name))
+            return a
+
+        self.int_attrs = chk(int_attrs, "int_attrs", np.int32)
+        self.float_attrs = chk(float_attrs, "float_attrs", np.float32)
+        self.multival_attrs = chk(multival_attrs, "multival_attrs", np.int32)
+        self.multival_lens = chk(multival_lens, "multival_lens", np.int32)
+        self.weights = chk(weights, "weights", np.float32)
+        self.labels = chk(labels, "labels", np.int32)
+        self.timestamps = chk(timestamps, "timestamps", np.int64)
+        self._device: Optional[DeviceNodeTable] = None
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.raw_ids)
+
+    def device(self) -> DeviceNodeTable:
+        if self._device is None:
+            cum = None
+            if self.weights is not None and self.num_nodes:
+                w = np.maximum(self.weights.astype(np.float64), 0.0)
+                total = w.sum()
+                if total <= 0:
+                    w = np.ones_like(w)
+                    total = w.sum()
+                cum = np.cumsum(w / total).astype(np.float32)
+            self._device = DeviceNodeTable(
+                raw_ids=_put(self.raw_ids),
+                int_attrs=_opt_put(self.int_attrs),
+                float_attrs=_opt_put(self.float_attrs),
+                multival_attrs=_opt_put(self.multival_attrs),
+                multival_lens=_opt_put(self.multival_lens),
+                weights=_opt_put(self.weights),
+                labels=_opt_put(self.labels),
+                timestamps=_opt_put(self.timestamps),
+                cum_weights=_opt_put(cum),
+            )
+        return self._device
+
+
+def _build_csr(rows: np.ndarray, cols: np.ndarray, num_rows: int,
+               sort_key: Optional[np.ndarray], sort_desc: bool,
+               weights: Optional[np.ndarray],
+               dst_in_degrees: Optional[np.ndarray]) -> Tuple[np.ndarray, ...]:
+    """Build CSR arrays. Returns (row_offsets, nbr, eid, nbr_s, eid_s, cumw, cumind)."""
+    e = rows.size
+    eid = np.arange(e, dtype=np.int64)
+    # primary sort by row; stable so insertion order is kept within rows
+    if sort_key is not None:
+        key = -sort_key if sort_desc else sort_key
+        order = np.lexsort((key, rows))
+    else:
+        order = np.argsort(rows, kind="stable")
+    r = rows[order]
+    nbr = cols[order].astype(np.int32)
+    eids = eid[order].astype(np.int32)
+    counts = np.bincount(r, minlength=num_rows).astype(np.int64)
+    row_offsets = np.zeros(num_rows + 1, dtype=np.int32)
+    np.cumsum(counts, out=row_offsets[1:])
+
+    # id-sorted secondary ordering
+    order2 = np.lexsort((cols, rows))
+    nbr_s = cols[order2].astype(np.int32)
+    eid_s = eid[order2].astype(np.int32)
+
+    def _segment_cdf(vals: np.ndarray) -> np.ndarray:
+        """Per-row normalised inclusive cumsum of vals (aligned with nbr)."""
+        v = np.maximum(vals.astype(np.float64), 0.0)
+        row_of = np.repeat(np.arange(num_rows), counts)
+        seg_sum = np.bincount(row_of, weights=v, minlength=num_rows)
+        # rows with all-zero weight fall back to uniform
+        zero = np.repeat(seg_sum <= 0, counts)
+        v = np.where(zero, 1.0, v)
+        seg_sum = np.bincount(row_of, weights=v, minlength=num_rows)
+        cs = np.cumsum(v)
+        start = np.minimum(row_offsets[:-1], max(e - 1, 0))
+        per_row = cs - np.repeat((cs - v)[start], counts)
+        denom = np.repeat(np.where(seg_sum > 0, seg_sum, 1.0), counts)
+        return (per_row / denom).astype(np.float32)
+
+    cumw = None
+    if weights is not None and e:
+        cumw = _segment_cdf(weights[order])
+    cumind = None
+    if dst_in_degrees is not None and e:
+        cumind = _segment_cdf(dst_in_degrees[nbr].astype(np.float64))
+    return row_offsets, nbr, eids, nbr_s, eid_s, cumw, cumind
+
+
+class EdgeTable:
+    """Host-side edge table with bidirectional CSR."""
+
+    def __init__(self, type_name: str, src_type: str, dst_type: str,
+                 decoder: Decoder, src: np.ndarray, dst: np.ndarray,
+                 num_src_nodes: int, num_dst_nodes: int,
+                 int_attrs=None, float_attrs=None, multival_attrs=None,
+                 multival_lens=None, weights=None, labels=None,
+                 timestamps=None):
+        self.type_name = type_name
+        self.src_type = src_type
+        self.dst_type = dst_type
+        self.decoder = decoder
+        self.src = src.astype(np.int64)
+        self.dst = dst.astype(np.int64)
+        self.num_src_nodes = num_src_nodes
+        self.num_dst_nodes = num_dst_nodes
+        self.weights = None if weights is None else np.asarray(weights, np.float32)
+        self.labels = None if labels is None else np.asarray(labels, np.int32)
+        self.timestamps = (None if timestamps is None
+                           else np.asarray(timestamps, np.int64))
+        self.int_attrs = None if int_attrs is None else np.asarray(int_attrs, np.int32)
+        self.float_attrs = (None if float_attrs is None
+                            else np.asarray(float_attrs, np.float32))
+        self.multival_attrs = (None if multival_attrs is None
+                               else np.asarray(multival_attrs, np.int32))
+        self.multival_lens = (None if multival_lens is None
+                              else np.asarray(multival_lens, np.int32))
+        self._device: Optional[DeviceEdgeTable] = None
+
+        # adjacency sort key: ts asc > weight desc > insertion
+        if self.timestamps is not None:
+            self._sort_key, self._sort_desc = self.timestamps.astype(np.float64), False
+        elif self.weights is not None:
+            self._sort_key, self._sort_desc = self.weights.astype(np.float64), True
+        else:
+            self._sort_key, self._sort_desc = None, False
+
+        self.out_degrees = np.bincount(
+            self.src.astype(np.int64), minlength=num_src_nodes).astype(np.int32)
+        self.in_degrees = np.bincount(
+            self.dst.astype(np.int64), minlength=num_dst_nodes).astype(np.int32)
+
+    @property
+    def num_edges(self) -> int:
+        return self.src.size
+
+    def device(self) -> DeviceEdgeTable:
+        if self._device is None:
+            src32 = self.src.astype(np.int32)
+            dst32 = self.dst.astype(np.int32)
+            ro, nbr, eids, nbr_s, eid_s, cumw, cumind = _build_csr(
+                self.src, dst32, self.num_src_nodes,
+                self._sort_key, self._sort_desc, self.weights, self.in_degrees)
+            out = DeviceCSR(
+                row_offsets=_put(ro), nbr_ids=_put(nbr), nbr_edge_ids=_put(eids),
+                nbr_ids_sorted=_put(nbr_s), nbr_edge_ids_sorted=_put(eid_s),
+                cum_weights=_opt_put(cumw), cum_in_degrees=_opt_put(cumind))
+            ro_i, nbr_i, eids_i, nbr_si, eid_si, cumw_i, cumind_i = _build_csr(
+                self.dst, src32, self.num_dst_nodes,
+                self._sort_key, self._sort_desc, self.weights, self.out_degrees)
+            inc = DeviceCSR(
+                row_offsets=_put(ro_i), nbr_ids=_put(nbr_i),
+                nbr_edge_ids=_put(eids_i), nbr_ids_sorted=_put(nbr_si),
+                nbr_edge_ids_sorted=_put(eid_si),
+                cum_weights=_opt_put(cumw_i), cum_in_degrees=_opt_put(cumind_i))
+            self._device = DeviceEdgeTable(
+                out=out, inc=inc, src=_put(src32), dst=_put(dst32),
+                int_attrs=_opt_put(self.int_attrs),
+                float_attrs=_opt_put(self.float_attrs),
+                multival_attrs=_opt_put(self.multival_attrs),
+                multival_lens=_opt_put(self.multival_lens),
+                weights=_opt_put(self.weights),
+                labels=_opt_put(self.labels),
+                timestamps=_opt_put(self.timestamps))
+        return self._device
+
+
+@dataclasses.dataclass
+class NodeSet:
+    """Seed set for traversal: dense indices into a base node table.
+
+    Masked splits (MASK*type) resolve here — their ids map into the base
+    table so attribute lookups hit the base payload (parity with the
+    reference where ``set_path`` keeps the raw type for lookups,
+    python/graph.py:588).
+    """
+
+    type_name: str  # possibly masked name
+    base_type: str  # raw node type
+    indices: np.ndarray  # [M] int32
+    weights: Optional[np.ndarray] = None
+    _device: Optional[DeviceNodeSet] = None
+
+    @property
+    def size(self) -> int:
+        return self.indices.size
+
+    def device(self) -> DeviceNodeSet:
+        if self._device is None:
+            self._device = DeviceNodeSet(
+                indices=_put(self.indices.astype(np.int32)),
+                weights=_opt_put(self.weights))
+        return self._device
+
+
+class GraphStore:
+    """type registry: node_type -> NodeTable, edge_type -> EdgeTable.
+
+    Reference equivalent: GraphStore singleton (core/graph/graph_store.h:33-66)
+    minus the RPC plumbing; "remote" storage is subsumed by device sharding
+    (see parallel/partition.py).
+    """
+
+    def __init__(self):
+        self.nodes: Dict[str, NodeTable] = {}
+        self.edges: Dict[str, EdgeTable] = {}
+        self.node_sets: Dict[str, NodeSet] = {}
+        # edge_type -> (src_type, dst_type); reference data/topology.py
+        self.topology: Dict[str, Tuple[str, str]] = {}
+
+    # --- registration -------------------------------------------------
+    def add_node_table(self, table: NodeTable):
+        self.nodes[table.type_name] = table
+        # the whole table is also its own traversal set
+        self.node_sets[table.type_name] = NodeSet(
+            type_name=table.type_name, base_type=table.type_name,
+            indices=np.arange(table.num_nodes, dtype=np.int32),
+            weights=table.weights)
+
+    def add_edge_table(self, table: EdgeTable):
+        self.edges[table.type_name] = table
+        self.topology[table.type_name] = (table.src_type, table.dst_type)
+
+    def add_node_set(self, ns: NodeSet):
+        self.node_sets[ns.type_name] = ns
+
+    # --- accessors ----------------------------------------------------
+    def node_table(self, t: str) -> NodeTable:
+        if t not in self.nodes:
+            raise NotFoundError("unknown node type %r" % t)
+        return self.nodes[t]
+
+    def edge_table(self, t: str) -> EdgeTable:
+        if t not in self.edges:
+            raise NotFoundError("unknown edge type %r" % t)
+        return self.edges[t]
+
+    def node_set(self, t: str) -> NodeSet:
+        if t not in self.node_sets:
+            raise NotFoundError("unknown node set %r" % t)
+        return self.node_sets[t]
+
+    def stats(self) -> Dict[str, Dict[str, int]]:
+        """Per-type counts (reference GetStats op, stats_getter.cc:24)."""
+        return {
+            "nodes": {t: tb.num_nodes for t, tb in self.nodes.items()},
+            "edges": {t: tb.num_edges for t, tb in self.edges.items()},
+        }

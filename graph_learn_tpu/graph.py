@@ -1,0 +1,224 @@
+"""Graph facade: schema registration, load, GSL entry points.
+
+Parity with the reference Graph API
+(reference: graphlearn/python/graph.py:38-1119): ``node()``/``edge()``
+register sources, ``init()`` loads and builds the store, ``V()``/``E()``
+start GSL queries, plus direct lookup/degree/stats APIs.
+
+TPU redesign: ``init()`` builds host CSR + feature tables and places them in
+device HBM (single chip) or sharded over a mesh axis (see parallel/); there
+are no graph servers — deployment modes collapse to process-local build +
+jax.distributed for multi-host.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from graph_learn_tpu.config import conf
+from graph_learn_tpu.core import ingest
+from graph_learn_tpu.core.schema import Decoder, Mask, mask_type
+from graph_learn_tpu.core.store import (EdgeTable, GraphStore, NodeSet,
+                                        NodeTable)
+from graph_learn_tpu.errors import InvalidArgumentError, NotFoundError
+
+
+class _NodeSource:
+    def __init__(self, path, node_type, decoder, mask):
+        self.path = path
+        self.node_type = node_type  # raw type
+        self.decoder = decoder
+        self.mask = mask
+
+
+class _EdgeSource:
+    def __init__(self, path, src_type, dst_type, edge_type, decoder,
+                 reversed_=False):
+        self.path = path
+        self.src_type = src_type
+        self.dst_type = dst_type
+        self.edge_type = edge_type
+        self.decoder = decoder
+        self.reversed = reversed_
+
+
+class Graph:
+    def __init__(self):
+        self._node_sources: List[_NodeSource] = []
+        self._edge_sources: List[_EdgeSource] = []
+        self._node_decoders: Dict[str, Decoder] = {}
+        self._edge_decoders: Dict[str, Decoder] = {}
+        self._undirected_edges: List[str] = []
+        self.store = GraphStore()
+        self._initialized = False
+
+    # --- schema registration (reference graph.py:200-335) -------------
+    def node(self, source: str, node_type: str, decoder: Decoder,
+             mask: Union[Mask, str, None] = Mask.NONE) -> "Graph":
+        if not isinstance(decoder, Decoder):
+            raise InvalidArgumentError("decoder must be a Decoder")
+        mask = Mask[mask.upper()] if isinstance(mask, str) else (mask or Mask.NONE)
+        typed = mask_type(node_type, mask)
+        self._node_decoders[typed] = decoder
+        for src in [s.strip() for s in source.split(",")]:
+            self._node_sources.append(_NodeSource(src, node_type, decoder, mask))
+        return self
+
+    def edge(self, source: str,
+             edge_type: Tuple[str, str, str],
+             decoder: Optional[Decoder] = None,
+             directed: bool = True) -> "Graph":
+        if not (isinstance(edge_type, tuple) and len(edge_type) == 3):
+            raise InvalidArgumentError(
+                "edge_type must be (src_type, dst_type, edge_type)")
+        decoder = decoder or Decoder()
+        src_t, dst_t, e_t = edge_type
+        self._edge_decoders[e_t] = decoder
+        for src in [s.strip() for s in source.split(",")]:
+            self._edge_sources.append(
+                _EdgeSource(src, src_t, dst_t, e_t, decoder))
+        if not directed:
+            # reference add_reverse_edges (graph.py:357-381): bipartite gets
+            # an "<edge>_reverse" type; homogeneous loads a swapped copy
+            # into the same type.
+            self._undirected_edges.append(e_t)
+            if src_t != dst_t:
+                rev_t = e_t + "_reverse"
+                self._edge_decoders[rev_t] = decoder
+                for src in [s.strip() for s in source.split(",")]:
+                    self._edge_sources.append(
+                        _EdgeSource(src, dst_t, src_t, rev_t, decoder,
+                                    reversed_=True))
+            else:
+                for src in [s.strip() for s in source.split(",")]:
+                    self._edge_sources.append(
+                        _EdgeSource(src, src_t, dst_t, e_t, decoder,
+                                    reversed_=True))
+        return self
+
+    # --- build --------------------------------------------------------
+    def init(self, **kwargs) -> "Graph":
+        """Load all sources and build host CSR + device tables.
+
+        Replaces the reference's server boot + coordinator barriers
+        (server_impl.cc:30-150); in a multi-process setting the caller runs
+        jax.distributed.initialize() first and every process loads its shard
+        (see parallel/partition.py).
+        """
+        if self._initialized:
+            return self
+        # 1. base node tables (mask == NONE)
+        for ns in self._node_sources:
+            if ns.mask == Mask.NONE:
+                cols = ingest.load_node_table(ns.path, ns.decoder)
+                self._add_or_extend_node(ns.node_type, ns.decoder, cols)
+        # 2. masked seed sets (resolve ids into base tables)
+        for ns in self._node_sources:
+            if ns.mask != Mask.NONE:
+                cols = ingest.load_node_table(ns.path, ns.decoder)
+                typed = mask_type(ns.node_type, ns.mask)
+                base = self.store.node_table(ns.node_type)
+                idx = base.index.lookup(cols["ids"])
+                self.store.add_node_set(NodeSet(
+                    type_name=typed, base_type=ns.node_type,
+                    indices=idx, weights=cols["weights"]))
+        # 3. edges
+        grouped: Dict[str, List[_EdgeSource]] = {}
+        for es in self._edge_sources:
+            grouped.setdefault(es.edge_type, []).append(es)
+        for e_t, sources in grouped.items():
+            self._load_edge_type(e_t, sources)
+        self._initialized = True
+        return self
+
+    def _add_or_extend_node(self, node_type: str, decoder: Decoder, cols):
+        if node_type in self.store.nodes:
+            raise InvalidArgumentError(
+                "multiple sources for node type %r not yet supported" % node_type)
+        table = NodeTable(
+            node_type, decoder, cols["ids"],
+            int_attrs=cols["int_attrs"], float_attrs=cols["float_attrs"],
+            multival_attrs=cols["multival_attrs"],
+            multival_lens=cols["multival_lens"],
+            weights=cols["weights"], labels=cols["labels"],
+            timestamps=cols["timestamps"])
+        self.store.add_node_table(table)
+
+    def _load_edge_type(self, e_t: str, sources: List[_EdgeSource]):
+        first = sources[0]
+        decoder = first.decoder
+        src_parts, dst_parts = [], []
+        payload: Dict[str, List[np.ndarray]] = {}
+        for es in sources:
+            cols = ingest.load_edge_table(es.path, es.decoder)
+            s_ids, d_ids = cols["src_ids"], cols["dst_ids"]
+            if es.reversed:
+                s_ids, d_ids = d_ids, s_ids
+            src_parts.append(s_ids)
+            dst_parts.append(d_ids)
+            for k in ("weights", "labels", "timestamps", "int_attrs",
+                      "float_attrs", "multival_attrs", "multival_lens"):
+                if cols[k] is not None:
+                    payload.setdefault(k, []).append(cols[k])
+        raw_src = np.concatenate(src_parts)
+        raw_dst = np.concatenate(dst_parts)
+        merged = {k: np.concatenate(v) for k, v in payload.items()}
+        src_table = self.store.node_table(first.src_type)
+        dst_table = self.store.node_table(first.dst_type)
+        src_idx = src_table.index.lookup(raw_src)
+        dst_idx = dst_table.index.lookup(raw_dst)
+        table = EdgeTable(
+            e_t, first.src_type, first.dst_type, decoder,
+            src=src_idx, dst=dst_idx,
+            num_src_nodes=src_table.num_nodes,
+            num_dst_nodes=dst_table.num_nodes,
+            weights=merged.get("weights"), labels=merged.get("labels"),
+            timestamps=merged.get("timestamps"),
+            int_attrs=merged.get("int_attrs"),
+            float_attrs=merged.get("float_attrs"),
+            multival_attrs=merged.get("multival_attrs"),
+            multival_lens=merged.get("multival_lens"))
+        self.store.add_edge_table(table)
+
+    def close(self):
+        self.store = GraphStore()
+        self._initialized = False
+
+    # --- decoders / topology ------------------------------------------
+    def get_node_decoder(self, node_type: str) -> Decoder:
+        return self._node_decoders.get(node_type, Decoder())
+
+    def get_edge_decoder(self, edge_type: str) -> Decoder:
+        return self._edge_decoders.get(edge_type, Decoder())
+
+    def topology(self) -> Dict[str, Tuple[str, str]]:
+        return dict(self.store.topology)
+
+    # --- direct (non-GSL) APIs ----------------------------------------
+    def get_stats(self) -> Dict[str, Dict[str, int]]:
+        return self.store.stats()
+
+    def out_degrees(self, node_ids: np.ndarray, edge_type: str) -> np.ndarray:
+        """Parity: reference degree getter (graph.py:1098-1116)."""
+        et = self.store.edge_table(edge_type)
+        idx = self.store.node_table(et.src_type).index.lookup(
+            np.asarray(node_ids, np.int64))
+        return et.out_degrees[idx]
+
+    def in_degrees(self, node_ids: np.ndarray, edge_type: str) -> np.ndarray:
+        et = self.store.edge_table(edge_type)
+        idx = self.store.node_table(et.dst_type).index.lookup(
+            np.asarray(node_ids, np.int64))
+        return et.in_degrees[idx]
+
+    # --- GSL entry points (defined in gsl/query.py; attached lazily to
+    # avoid an import cycle) -------------------------------------------
+    def V(self, t: str, node_from=None, mask: Union[Mask, str, None] = Mask.NONE):
+        from graph_learn_tpu.gsl.query import v_entry
+        return v_entry(self, t, node_from=node_from, mask=mask)
+
+    def E(self, edge_type: str):
+        from graph_learn_tpu.gsl.query import e_entry
+        return e_entry(self, edge_type)

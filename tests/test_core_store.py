@@ -1,0 +1,153 @@
+"""Tests for schema, ingest, store build, traversal."""
+
+import numpy as np
+import pytest
+
+import graph_learn_tpu as gl
+from graph_learn_tpu.core.traversal import Traverser
+from graph_learn_tpu.errors import OutOfRangeError
+
+
+def _build(tmp_graph_dir):
+    g = gl.Graph()
+    g.node(tmp_graph_dir["node"], node_type="item",
+           decoder=gl.Decoder(weighted=True, labeled=True,
+                              attr_types=["float"] * 4))
+    g.edge(tmp_graph_dir["edge"], edge_type=("item", "item", "rel"),
+           decoder=gl.Decoder(weighted=True))
+    g.node(tmp_graph_dir["train"], node_type="item",
+           decoder=gl.Decoder(weighted=True), mask=gl.Mask.TRAIN)
+    return g.init()
+
+
+def test_decoder_layout():
+    d = gl.Decoder(weighted=True, labeled=True,
+                   attr_types=["int", ("string", 10), "float", ("int", 5)],
+                   attr_dims=[None, 8, None, 4])
+    assert d.int_attr_num == 2       # hashed string + bucketed int
+    assert d.float_attr_num == 2     # numeric int + float
+    assert d.attributed and d.weighted and d.labeled
+
+
+def test_node_table_load(tmp_graph_dir):
+    g = _build(tmp_graph_dir)
+    t = g.store.node_table("item")
+    n = tmp_graph_dir["n"]
+    assert t.num_nodes == n
+    assert t.float_attrs.shape == (n, 4)
+    assert t.labels.shape == (n,)
+    np.testing.assert_array_equal(t.labels, np.arange(n) % 5)
+    np.testing.assert_array_equal(t.raw_ids, np.arange(n) * 10)
+    # raw id -> dense index round trip
+    idx = t.index.lookup(np.array([0, 10, 390]))
+    np.testing.assert_array_equal(idx, [0, 1, 39])
+
+
+def test_masked_node_set(tmp_graph_dir):
+    g = _build(tmp_graph_dir)
+    ns = g.store.node_set("MASK*item")
+    assert ns.base_type == "item"
+    np.testing.assert_array_equal(ns.indices, np.arange(0, tmp_graph_dir["n"], 2))
+
+
+def test_edge_csr(tmp_graph_dir):
+    g = _build(tmp_graph_dir)
+    et = g.store.edge_table("rel")
+    dev = et.device()
+    n = tmp_graph_dir["n"]
+    edges = tmp_graph_dir["edge_list"]
+    assert et.num_edges == len(edges)
+    # out degrees match the generator (node i has 1 + i%7 edges)
+    expect_deg = np.array([1 + (i % 7) for i in range(n)])
+    np.testing.assert_array_equal(np.asarray(dev.out.degrees()), expect_deg)
+    # weighted graph: per-row neighbors sorted by weight DESC
+    ro = np.asarray(dev.out.row_offsets)
+    for i in range(n):
+        w = np.asarray(et.weights)[np.asarray(dev.out.nbr_edge_ids)[ro[i]:ro[i + 1]]]
+        assert np.all(np.diff(w) <= 0), f"row {i} not weight-desc"
+    # id-sorted ordering ascending per row
+    for i in range(n):
+        ids = np.asarray(dev.out.nbr_ids_sorted)[ro[i]:ro[i + 1]]
+        assert np.all(np.diff(ids) >= 0)
+    # cum weights end at 1.0 per row
+    cw = np.asarray(dev.out.cum_weights)
+    ends = cw[ro[1:] - 1]
+    np.testing.assert_allclose(ends, 1.0, rtol=1e-5)
+    # in-CSR consistency: total in-degrees == E
+    assert int(np.asarray(dev.inc.degrees()).sum()) == len(edges)
+
+
+def test_csr_matches_edge_list(tmp_graph_dir):
+    g = _build(tmp_graph_dir)
+    et = g.store.edge_table("rel")
+    dev = et.device()
+    edges = tmp_graph_dir["edge_list"]
+    # reconstruct (src, dst) pairs from CSR and compare as sets
+    ro = np.asarray(dev.out.row_offsets)
+    got = set()
+    nbr = np.asarray(dev.out.nbr_ids)
+    for i in range(len(ro) - 1):
+        for j in range(ro[i], ro[i + 1]):
+            got.add((i * 10, int(nbr[j]) * 10))
+    expect = {(s, d) for s, d, _ in edges}
+    assert got == expect
+
+
+def test_traversal_by_order():
+    tr = Traverser(10, 4, "by_order")
+    b1, c1 = tr.next()
+    b2, c2 = tr.next()
+    b3, c3 = tr.next()
+    np.testing.assert_array_equal(b1, [0, 1, 2, 3])
+    np.testing.assert_array_equal(b2, [4, 5, 6, 7])
+    assert c3 == 2 and b3.shape == (4,)  # padded partial batch
+    np.testing.assert_array_equal(b3, [8, 9, 8, 9])  # circular pad
+    with pytest.raises(OutOfRangeError):
+        tr.next()
+    assert tr.epoch == 1
+    b4, _ = tr.next()  # next epoch restarts
+    np.testing.assert_array_equal(b4, [0, 1, 2, 3])
+
+
+def test_traversal_shuffle_covers_all():
+    tr = Traverser(13, 5, "shuffle", seed=3)
+    seen = []
+    try:
+        while True:
+            b, c = tr.next()
+            seen.extend(b[:c].tolist())
+    except OutOfRangeError:
+        pass
+    assert sorted(seen) == list(range(13))
+
+
+def test_traversal_random_never_ends():
+    tr = Traverser(5, 3, "random")
+    for _ in range(10):
+        b, c = tr.next()
+        assert c == 3 and b.min() >= 0 and b.max() < 5
+
+
+def test_stats(tmp_graph_dir):
+    g = _build(tmp_graph_dir)
+    s = g.get_stats()
+    assert s["nodes"]["item"] == tmp_graph_dir["n"]
+    assert s["edges"]["rel"] == len(tmp_graph_dir["edge_list"])
+
+
+def test_degrees_api(tmp_graph_dir):
+    g = _build(tmp_graph_dir)
+    deg = g.out_degrees(np.array([0, 10, 60]), "rel")
+    np.testing.assert_array_equal(deg, [1 + 0, 1 + 1, 1 + 6])
+
+
+def test_undirected_homogeneous(tmp_graph_dir):
+    g = gl.Graph()
+    g.node(tmp_graph_dir["node"], node_type="item",
+           decoder=gl.Decoder(weighted=True, labeled=True,
+                              attr_types=["float"] * 4))
+    g.edge(tmp_graph_dir["edge"], edge_type=("item", "item", "rel"),
+           decoder=gl.Decoder(weighted=True), directed=False)
+    g.init()
+    et = g.store.edge_table("rel")
+    assert et.num_edges == 2 * len(tmp_graph_dir["edge_list"])
