@@ -106,6 +106,9 @@ class DeviceEdgeTable:
     weights: Optional[jax.Array] = None  # [E] f32
     labels: Optional[jax.Array] = None
     timestamps: Optional[jax.Array] = None  # [E] int64
+    # negative-sampling candidate tables (reference GetAllDstIds):
+    unique_dst: Optional[jax.Array] = None  # [Du] sorted unique dst indices
+    unique_dst_indeg_cdf: Optional[jax.Array] = None  # [Du] in-degree CDF
 
     @property
     def num_edges(self) -> int:
@@ -336,8 +339,14 @@ class EdgeTable:
                 nbr_edge_ids=_put(eids_i), nbr_ids_sorted=_put(nbr_si),
                 nbr_edge_ids_sorted=_put(eid_si),
                 cum_weights=_opt_put(cumw_i), cum_in_degrees=_opt_put(cumind_i))
+            uniq = np.unique(dst32)
+            indeg = self.in_degrees[uniq].astype(np.float64)
+            tot = indeg.sum()
+            cdf = np.cumsum(indeg / (tot if tot > 0 else 1.0)).astype(np.float32)
             self._device = DeviceEdgeTable(
                 out=out, inc=inc, src=_put(src32), dst=_put(dst32),
+                unique_dst=_put(uniq.astype(np.int32)),
+                unique_dst_indeg_cdf=_put(cdf),
                 int_attrs=_opt_put(self.int_attrs),
                 float_attrs=_opt_put(self.float_attrs),
                 multival_attrs=_opt_put(self.multival_attrs),

@@ -1,0 +1,60 @@
+"""Server-side-style aggregation ops: segment reduce of node float attrs.
+
+Parity with the reference aggregator operators
+(reference: graphlearn/src/core/operator/aggregator/aggregator.cc:31-60,
+{sum,mean,max,min,prod}_aggregator.cc; exposed as ``Nodes.embedding_agg``
+in python/data/values.py:346-380).
+
+On TPU these are jax.ops.segment_* reductions — already fused by XLA; the
+Pallas SpMM path (ops/pallas/spmm.py) covers the CSR-gather variant used by
+model layers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_aggregate(feats: jax.Array, segment_ids: jax.Array,
+                      num_segments: int, op: str = "sum") -> jax.Array:
+    """feats [n, d] grouped by segment_ids [n] -> [num_segments, d]."""
+    if op == "sum":
+        return jax.ops.segment_sum(feats, segment_ids, num_segments=num_segments)
+    if op == "mean":
+        s = jax.ops.segment_sum(feats, segment_ids, num_segments=num_segments)
+        cnt = jax.ops.segment_sum(jnp.ones((feats.shape[0],), feats.dtype),
+                                  segment_ids, num_segments=num_segments)
+        return s / jnp.maximum(cnt, 1.0)[:, None]
+    if op == "max":
+        return jax.ops.segment_max(feats, segment_ids, num_segments=num_segments)
+    if op == "min":
+        return jax.ops.segment_min(feats, segment_ids, num_segments=num_segments)
+    if op == "prod":
+        return jax.ops.segment_prod(feats, segment_ids, num_segments=num_segments)
+    raise ValueError("unknown aggregation op %r" % op)
+
+
+def embedding_agg(float_attrs: jax.Array, ids: jax.Array, degrees: jax.Array,
+                  op: str = "sum") -> jax.Array:
+    """Aggregate float attrs of SparseNodes rows ([b, cap] + degrees [b]).
+
+    Equivalent of ``SparseNodes.embedding_agg`` (values.py:346-380): one
+    vector per seed, reduced over its (masked) neighbor slots.
+    """
+    b, cap = ids.shape
+    feats = float_attrs[jnp.clip(ids, 0, float_attrs.shape[0] - 1)]
+    mask = (jnp.arange(cap, dtype=jnp.int32)[None, :] < degrees[:, None])
+    m = mask[..., None]
+    if op == "sum":
+        return jnp.sum(jnp.where(m, feats, 0.0), axis=1)
+    if op == "mean":
+        s = jnp.sum(jnp.where(m, feats, 0.0), axis=1)
+        return s / jnp.maximum(degrees[:, None].astype(feats.dtype), 1.0)
+    if op == "max":
+        return jnp.max(jnp.where(m, feats, -jnp.inf), axis=1)
+    if op == "min":
+        return jnp.min(jnp.where(m, feats, jnp.inf), axis=1)
+    if op == "prod":
+        return jnp.prod(jnp.where(m, feats, 1.0), axis=1)
+    raise ValueError("unknown aggregation op %r" % op)

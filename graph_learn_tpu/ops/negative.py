@@ -1,0 +1,89 @@
+"""Negative sampling kernels: ``.outNeg(e).sample(k).by(strategy)``.
+
+Strategy parity with the reference negative samplers
+(reference: graphlearn/src/core/operator/sampler/):
+
+- ``random``      random_negative_sampler.cc:26 — uniform over the ids that
+                  appear as destinations of the edge type (GetAllDstIds);
+                  NOTE: the reference does NOT reject true neighbors here.
+- ``in_degree``   in_degree_negative_sampler.cc:30 — candidates ∝ in-degree,
+                  true neighbors rejected; after kRetryTimes rounds the
+                  constraint is dropped (the Soft variant drops it from the
+                  start: SoftInDegreeNegativeSampler, :110).
+- ``node_weight`` node_weight_negative_sampler.cc:30 — candidates ∝ node
+                  weight over the dst node table, strict with fallback.
+- ``conditional`` conditional_negative_sampler.cc:33 — attr-conditioned
+                  (see ops/conditional.py).
+
+Device translation: candidate draws are inverse-CDF bisections over
+precomputed tables; membership rejection = bisection over the seed's
+id-sorted neighbor row; "retry" = R parallel candidate rounds with
+first-acceptable selection (R = conf.sampling_retry_times).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from graph_learn_tpu.config import conf
+from graph_learn_tpu.core.store import DeviceEdgeTable, DeviceNodeTable
+from graph_learn_tpu.ops.segment import row_bounds, segment_member
+
+
+def _draw_uniform_ids(cand_ids: jax.Array, key: jax.Array, shape):
+    n = cand_ids.shape[0]
+    idx = jax.random.randint(key, shape, 0, jnp.maximum(n, 1))
+    return cand_ids[idx]
+
+
+def _draw_cdf_ids(cand_ids: jax.Array, cdf: jax.Array, key: jax.Array, shape):
+    u = jax.random.uniform(key, shape)
+    pos = jnp.searchsorted(cdf, u, side="left")
+    pos = jnp.clip(pos, 0, cand_ids.shape[0] - 1)
+    return cand_ids[pos]
+
+
+def _reject_neighbors(et: DeviceEdgeTable, seeds: jax.Array,
+                      cands: jax.Array) -> jax.Array:
+    """[b, k, R] -> True where candidate is a true neighbor of its seed."""
+    start, end, _ = row_bounds(et.out.row_offsets, seeds)
+    b = seeds.shape[0]
+    extra = cands.shape[1:]
+    lo = start.reshape((b,) + (1,) * len(extra))
+    hi = end.reshape((b,) + (1,) * len(extra))
+    return segment_member(et.out.nbr_ids_sorted, lo, hi, cands)
+
+
+def negative_sample(et: DeviceEdgeTable, seeds: jax.Array, k: int,
+                    key: jax.Array, strategy: str = "random",
+                    dst_table: Optional[DeviceNodeTable] = None) -> jax.Array:
+    """Returns [b, k] int32 negative dst indices."""
+    b = seeds.shape[0]
+    if strategy == "random":
+        # parity: no neighbor rejection (random_negative_sampler.cc:53-59)
+        return _draw_uniform_ids(et.unique_dst, key, (b, k))
+
+    rounds = conf.sampling_retry_times + 1
+    if strategy in ("in_degree", "soft_in_degree"):
+        cands = _draw_cdf_ids(et.unique_dst, et.unique_dst_indeg_cdf,
+                              key, (b, k, rounds))
+    elif strategy == "node_weight":
+        if dst_table is None or dst_table.cum_weights is None:
+            raise ValueError("node_weight negative sampling needs a weighted "
+                             "dst node table")
+        all_ids = jnp.arange(dst_table.num_nodes, dtype=jnp.int32)
+        cands = _draw_cdf_ids(all_ids, dst_table.cum_weights, key,
+                              (b, k, rounds))
+    else:
+        raise ValueError("unknown negative strategy %r" % strategy)
+
+    if strategy == "soft_in_degree":
+        return cands[..., 0]
+    bad = _reject_neighbors(et, seeds, cands)
+    first_ok = jnp.argmax(~bad, axis=-1)
+    all_bad = jnp.all(bad, axis=-1)
+    pick = jnp.where(all_bad, rounds - 1, first_ok)  # fallback: accept anyway
+    return jnp.take_along_axis(cands, pick[..., None], axis=-1)[..., 0]

@@ -1,0 +1,241 @@
+"""Neighbor sampling kernels: the GSL ``.sample(k).by(strategy)`` strategies.
+
+Strategy parity with the reference sampler operators
+(reference: graphlearn/src/core/operator/sampler/):
+
+- ``random``            random_sampler.cc:25 (uniform with replacement,
+                        filter rejection with SamplingRetryTimes retries)
+- ``topk``              topk_sampler.cc:25 (first k of weight-desc adjacency,
+                        circular padding)
+- ``edge_weight``       edge_weight_sampler.cc:27 (weight-proportional; the
+                        reference builds AliasMethod tables, we bisect the
+                        per-row inverse CDF built at ingest)
+- ``in_degree``         in_degree_sampler.cc:27 (neighbor prob ∝ dst
+                        in-degree)
+- ``random_without_replacement``  random_without_replacement_sampler.cc:27
+                        (distinct draws; all + padding when degree <= k)
+- ``full``              full_sampler.cc:26 (all neighbors, variable degree;
+                        on TPU a static cap + degrees/mask)
+
+All samplers are jit-friendly: fixed [batch, k] outputs, zero-degree seeds
+filled with ``conf.default_neighbor_id`` and edge id -1 (parity:
+res->FillWith(GLOBAL_FLAG(DefaultNeighborId), -1)).
+
+Filters (reference sampler/filter.cc): ``exclude_dst`` drops one given
+neighbor id per seed (unsupervised edge sampling), ``ts_upper`` keeps only
+neighbors with timestamp strictly below a per-seed bound (temporal graphs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graph_learn_tpu.config import conf
+from graph_learn_tpu.core.store import DeviceCSR
+from graph_learn_tpu.ops.segment import (row_bounds, segment_member,
+                                         segmented_searchsorted)
+
+
+@dataclasses.dataclass(frozen=True)
+class SampleFilter:
+    """Per-seed rejection predicates (reference filter.h)."""
+
+    exclude_dst: Optional[jax.Array] = None  # [b] neighbor id to reject
+    ts_upper: Optional[jax.Array] = None  # [b] timestamp upper bound
+
+    def hit(self, seed_axis_ids: jax.Array, cand_ids: jax.Array,
+            cand_ts: Optional[jax.Array]) -> jax.Array:
+        """True where a candidate violates the filter. cand_ids: [b, ...]."""
+        bad = jnp.zeros(cand_ids.shape, dtype=bool)
+        if self.exclude_dst is not None:
+            excl = self.exclude_dst.reshape(
+                (-1,) + (1,) * (cand_ids.ndim - 1))
+            bad |= cand_ids == excl
+        if self.ts_upper is not None and cand_ts is not None:
+            ub = self.ts_upper.reshape((-1,) + (1,) * (cand_ids.ndim - 1))
+            bad |= cand_ts >= ub
+        return bad
+
+
+def _gather(csr: DeviceCSR, pos: jax.Array, valid: jax.Array):
+    """Gather (nbr_ids, edge_ids) at flat CSR positions, masking invalid."""
+    e = csr.nbr_ids.shape[0]
+    posc = jnp.clip(pos, 0, max(e - 1, 0))
+    ids = csr.nbr_ids[posc]
+    eids = csr.nbr_edge_ids[posc]
+    ids = jnp.where(valid, ids, jnp.int32(conf.default_neighbor_id))
+    eids = jnp.where(valid, eids, jnp.int32(-1))
+    return ids, eids
+
+
+def _apply_filter_retry(csr: DeviceCSR, key: jax.Array, seeds: jax.Array,
+                        start, deg, k: int, flt: Optional[SampleFilter],
+                        edge_ts: Optional[jax.Array],
+                        draw_fn) -> jax.Array:
+    """Draw with rejection: R+1 candidate rounds, keep first passing draw.
+
+    Mirrors the reference retry loop (random_sampler.cc:62-72): after
+    SamplingRetryTimes failures the last candidate is accepted anyway.
+    """
+    retries = conf.sampling_retry_times
+    if flt is None or (flt.exclude_dst is None and flt.ts_upper is None):
+        u = jax.random.uniform(key, seeds.shape + (k,))
+        return draw_fn(u)
+    rounds = retries + 1
+    u = jax.random.uniform(key, seeds.shape + (k, rounds))
+    pos = draw_fn(u)  # [b, k, rounds] flat positions
+    e = csr.nbr_ids.shape[0]
+    cand = csr.nbr_ids[jnp.clip(pos, 0, max(e - 1, 0))]
+    cand_ts = None
+    if edge_ts is not None:
+        cand_ts = edge_ts[jnp.clip(
+            csr.nbr_edge_ids[jnp.clip(pos, 0, max(e - 1, 0))], 0, None)]
+    bad = flt.hit(seeds, cand, cand_ts)  # [b, k, rounds]
+    # first acceptable round per draw (else last round)
+    first_ok = jnp.argmax(~bad, axis=-1)
+    all_bad = jnp.all(bad, axis=-1)
+    pick = jnp.where(all_bad, rounds - 1, first_ok)
+    return jnp.take_along_axis(pos, pick[..., None], axis=-1)[..., 0]
+
+
+def uniform_sample(csr: DeviceCSR, seeds: jax.Array, k: int, key: jax.Array,
+                   flt: Optional[SampleFilter] = None,
+                   edge_ts: Optional[jax.Array] = None):
+    """Uniform with replacement. Returns (nbr_ids [b,k], edge_ids [b,k])."""
+    start, _, deg = row_bounds(csr.row_offsets, seeds)
+
+    def draw(u):
+        idx = jnp.floor(u * deg.reshape(deg.shape + (1,) * (u.ndim - 1))
+                        ).astype(jnp.int32)
+        idx = jnp.minimum(idx, jnp.maximum(deg, 1).reshape(
+            deg.shape + (1,) * (u.ndim - 1)) - 1)
+        return start.reshape(start.shape + (1,) * (u.ndim - 1)) + idx
+
+    pos = _apply_filter_retry(csr, key, seeds, start, deg, k, flt, edge_ts, draw)
+    valid = (deg > 0)[..., None]
+    return _gather(csr, pos, valid)
+
+
+def topk_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
+                key: Optional[jax.Array] = None):
+    """First k of the (weight-desc / ts-asc) adjacency; circular padding."""
+    start, _, deg = row_bounds(csr.row_offsets, seeds)
+    ar = jnp.arange(k, dtype=jnp.int32)
+    if conf.padding_mode == 1:  # circular (circular_padder.h)
+        idx = ar[None, :] % jnp.maximum(deg, 1)[:, None]
+    else:  # replicate last (replicate_padder.h)
+        idx = jnp.minimum(ar[None, :], jnp.maximum(deg, 1)[:, None] - 1)
+    pos = start[:, None] + idx
+    valid = (deg > 0)[:, None]
+    return _gather(csr, pos, valid)
+
+
+def weighted_sample(csr: DeviceCSR, seeds: jax.Array, k: int, key: jax.Array,
+                    by: str = "edge_weight"):
+    """Inverse-CDF weighted sampling (edge_weight or in_degree strategy)."""
+    cum = csr.cum_weights if by == "edge_weight" else csr.cum_in_degrees
+    if cum is None:
+        raise ValueError(
+            "CSR has no %s CDF table (source not weighted?)" % by)
+    start, end, deg = row_bounds(csr.row_offsets, seeds)
+    u = jax.random.uniform(key, seeds.shape + (k,))
+    pos = segmented_searchsorted(cum, start[:, None], end[:, None], u,
+                                 side="left")
+    pos = jnp.minimum(pos, jnp.maximum(end, 1)[:, None] - 1)
+    valid = (deg > 0)[:, None]
+    return _gather(csr, pos, valid)
+
+
+def without_replacement_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
+                               key: jax.Array):
+    """Uniform without replacement via per-seed Gumbel top-k over a window.
+
+    Exact when degree <= window (window = max(k, 2k) capped); the reference
+    uses sequential rejection (random_without_replacement_sampler.cc:27).
+    For degree <= k all neighbors are returned then padded (parity).
+
+    Implementation: rank k smallest of `hash(key, position)` within the row
+    using Floyd-like iterative selection — k iterations of masked argmin
+    over a fixed window of the row.  To stay shape-static we draw distinct
+    positions with the sort-of-random-keys trick over a window of size
+    W = next_pow2(max degree seen is unknown) — instead we use the
+    sequential swap-free approach below which is exact for any degree:
+    draw j-th sample uniformly from [0, deg - j) over the *remaining*
+    index space tracked implicitly via the "virtual Fisher-Yates" hash map
+    trick.  With k small (fanouts <= 32) the k-step lax.scan is cheap.
+    """
+    b = seeds.shape[0]
+    start, _, deg = row_bounds(csr.row_offsets, seeds)
+    degm = jnp.maximum(deg, 1)
+
+    # Virtual Fisher-Yates: maintain up to k (index -> replacement) pairs.
+    # At step j we draw r in [0, deg-j); its effective value is the latest
+    # replacement recorded for r (or r itself); then record r -> (deg-1-j)'s
+    # effective value.  This yields exact uniform samples w/o replacement.
+    keys_j = jax.random.split(key, k)
+
+    def step(carry, kj):
+        sel_keys, sel_vals, j = carry  # [b, k] recorded swaps
+        span = jnp.maximum(degm - j, 1)
+        r = jnp.floor(jax.random.uniform(kj, (b,)) * span).astype(jnp.int32)
+        r = jnp.minimum(r, span - 1)
+
+        def lookup(keys_, vals_, q):
+            # latest recorded replacement for q (keys can repeat; the most
+            # recent slot wins)
+            m = keys_ == q[:, None]
+            slots = jnp.where(m, jnp.arange(k, dtype=jnp.int32)[None, :], -1)
+            slot = jnp.max(slots, axis=1)
+            hitv = jnp.take_along_axis(
+                vals_, jnp.maximum(slot, 0)[:, None], axis=1)[:, 0]
+            return jnp.where(slot >= 0, hitv, q)
+
+        value = lookup(sel_keys, sel_vals, r)
+        tail = degm - 1 - j
+        tail_val = lookup(sel_keys, sel_vals, tail)
+        # record r -> tail_val at slot j
+        sel_keys = sel_keys.at[:, j].set(r)
+        sel_vals = sel_vals.at[:, j].set(tail_val)
+        return (sel_keys, sel_vals, j + 1), value
+
+    init = (jnp.full((b, k), -1, jnp.int32), jnp.zeros((b, k), jnp.int32),
+            jnp.int32(0))
+    (_, _, _), drawn = jax.lax.scan(step, init, keys_j)
+    drawn = drawn.T  # [b, k]
+    ar = jnp.arange(k, dtype=jnp.int32)[None, :]
+    # for seeds with deg <= k: positions j < deg take neighbor j (all
+    # neighbors), then circular padding
+    take_all = ar % degm[:, None]
+    idx = jnp.where(deg[:, None] > k, drawn, take_all)
+    pos = start[:, None] + idx
+    valid = (deg > 0)[:, None]
+    return _gather(csr, pos, valid)
+
+
+def full_sample(csr: DeviceCSR, seeds: jax.Array, cap: int):
+    """All neighbors up to a static cap. Returns (ids, eids, degrees).
+
+    degrees is clipped to cap (reference truncates to count when count > 0,
+    full_sampler.cc:31-60).
+    """
+    start, _, deg = row_bounds(csr.row_offsets, seeds)
+    ar = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    pos = start[:, None] + ar
+    valid = ar < deg[:, None]
+    ids, eids = _gather(csr, pos, valid)
+    return ids, eids, jnp.minimum(deg, cap).astype(jnp.int32)
+
+
+STRATEGY_FNS = {
+    "random": uniform_sample,
+    "topk": topk_sample,
+    "edge_weight": weighted_sample,
+    "in_degree": weighted_sample,
+    "random_without_replacement": without_replacement_sample,
+    "full": full_sample,
+}

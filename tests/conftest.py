@@ -3,11 +3,23 @@ without TPU hardware (mirrors the driver's dryrun_multichip environment)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# This image preimports jax and registers a TPU backend from sitecustomize
+# before conftest runs; force a re-resolution onto CPU or every eager op
+# round-trips through the TPU tunnel.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.extend.backend.clear_backends()
+except Exception:
+    pass
+assert jax.default_backend() == "cpu", jax.default_backend()
 
 import numpy as np
 import pytest

@@ -1,0 +1,253 @@
+"""Per-strategy sampler tests on tiny deterministic graphs.
+
+Mirrors the reference per-strategy test layout
+(reference: graphlearn/python/sampler/tests/ — 13 files, one per strategy).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import graph_learn_tpu as gl
+from graph_learn_tpu.core.store import EdgeTable, NodeTable
+from graph_learn_tpu.core.schema import Decoder
+from graph_learn_tpu.ops import negative, sampling, walk
+from graph_learn_tpu.ops.aggregate import embedding_agg, segment_aggregate
+from graph_learn_tpu.ops.segment import (segment_member, segment_softmax,
+                                         segmented_searchsorted)
+from graph_learn_tpu.ops.subgraph import induce_subgraph
+
+
+def _toy_edge_table(weights=None, n=8):
+    """star-ish graph: node i -> (i+1)%n, (i+2)%n, ... degree = i%4."""
+    src, dst, w = [], [], []
+    for i in range(n):
+        for j in range(i % 4):
+            src.append(i)
+            dst.append((i + j + 1) % n)
+            w.append(float(j + 1))
+    return EdgeTable("e", "v", "v", Decoder(weighted=True),
+                     src=np.array(src), dst=np.array(dst),
+                     num_src_nodes=n, num_dst_nodes=n,
+                     weights=np.array(w, np.float32))
+
+
+def test_segmented_searchsorted():
+    vals = jnp.array([0.2, 0.6, 1.0, 0.5, 1.0], jnp.float32)  # rows [0,3) [3,5)
+    lo = jnp.array([0, 3], jnp.int32)
+    hi = jnp.array([3, 5], jnp.int32)
+    q = jnp.array([[0.1, 0.3, 0.9], [0.1, 0.6, 0.99]], jnp.float32)
+    pos = segmented_searchsorted(vals, lo[:, None], hi[:, None], q)
+    np.testing.assert_array_equal(np.asarray(pos), [[0, 1, 2], [3, 4, 4]])
+
+
+def test_segment_member():
+    ids = jnp.array([1, 3, 5, 2, 4], jnp.int32)  # rows [0,3) [3,5)
+    lo = jnp.array([0, 3], jnp.int32)[:, None]
+    hi = jnp.array([3, 5], jnp.int32)[:, None]
+    q = jnp.array([[3, 4], [4, 5]], jnp.int32)
+    m = segment_member(ids, lo, hi, q)
+    np.testing.assert_array_equal(np.asarray(m), [[True, False], [True, False]])
+
+
+def test_uniform_sample_membership():
+    et = _toy_edge_table()
+    dev = et.device()
+    seeds = jnp.array([1, 2, 3, 5, 7], jnp.int32)
+    ids, eids = sampling.uniform_sample(dev.out, seeds, 4,
+                                        jax.random.key(0))
+    assert ids.shape == (5, 4)
+    # every sampled neighbor must be a true neighbor of its seed
+    ro = np.asarray(dev.out.row_offsets)
+    nbr = np.asarray(dev.out.nbr_ids)
+    for i, s in enumerate([1, 2, 3, 5, 7]):
+        allowed = set(nbr[ro[s]:ro[s + 1]])
+        assert set(np.asarray(ids)[i]).issubset(allowed), (s, ids[i], allowed)
+    assert np.all(np.asarray(eids) >= 0)
+
+
+def test_uniform_sample_zero_degree():
+    et = _toy_edge_table()
+    ids, eids = sampling.uniform_sample(et.device().out,
+                                        jnp.array([0, 4], jnp.int32), 3,
+                                        jax.random.key(1))
+    # degree of nodes 0 and 4 is 0 -> default fill
+    np.testing.assert_array_equal(np.asarray(ids), 0)
+    np.testing.assert_array_equal(np.asarray(eids), -1)
+
+
+def test_topk_order_and_padding():
+    et = _toy_edge_table()
+    dev = et.device()
+    # node 3 has degree 3 with weights 3,2,1 after desc sort
+    ids, eids = sampling.topk_sample(dev.out, jnp.array([3], jnp.int32), 5)
+    w = np.asarray(et.weights)[np.asarray(eids)[0]]
+    np.testing.assert_array_equal(w[:3], [3.0, 2.0, 1.0])
+    # circular padding repeats from the start
+    np.testing.assert_array_equal(np.asarray(eids)[0, 3:],
+                                  np.asarray(eids)[0, :2])
+
+
+def test_edge_weight_sample_distribution():
+    et = _toy_edge_table()
+    dev = et.device()
+    seeds = jnp.full((2000,), 3, jnp.int32)  # weights 3,2,1 -> probs 1/2,1/3,1/6
+    ids, eids = sampling.weighted_sample(dev.out, seeds, 1, jax.random.key(2))
+    w = np.asarray(et.weights)[np.asarray(eids).ravel()]
+    freq = {x: float((w == x).mean()) for x in (1.0, 2.0, 3.0)}
+    assert abs(freq[3.0] - 0.5) < 0.05
+    assert abs(freq[2.0] - 1 / 3) < 0.05
+    assert abs(freq[1.0] - 1 / 6) < 0.05
+
+
+def test_without_replacement_distinct():
+    et = _toy_edge_table(n=16)
+    dev = et.device()
+    # node 3 has degree 3: sampling 2 without replacement -> distinct
+    seeds = jnp.full((64,), 3, jnp.int32)
+    ids, eids = sampling.without_replacement_sample(dev.out, seeds, 2,
+                                                    jax.random.key(3))
+    e = np.asarray(eids)
+    assert np.all(e[:, 0] != e[:, 1])
+    # degree <= k: all neighbors then padding
+    ids2, eids2 = sampling.without_replacement_sample(
+        dev.out, jnp.array([1], jnp.int32), 3, jax.random.key(4))
+    # node 1 degree 1 -> circular repeat
+    assert len(set(np.asarray(eids2)[0])) == 1
+
+
+def test_full_sample():
+    et = _toy_edge_table()
+    dev = et.device()
+    ids, eids, degs = sampling.full_sample(dev.out,
+                                           jnp.array([3, 0], jnp.int32), 5)
+    np.testing.assert_array_equal(np.asarray(degs), [3, 0])
+    assert np.all(np.asarray(eids)[0, 3:] == -1)
+    assert np.all(np.asarray(eids)[1] == -1)
+
+
+def test_filter_exclude_dst():
+    et = _toy_edge_table()
+    dev = et.device()
+    # node 3 neighbors are 4,5,6; exclude 4
+    seeds = jnp.full((32,), 3, jnp.int32)
+    flt = sampling.SampleFilter(exclude_dst=jnp.full((32,), 4, jnp.int32))
+    ids, _ = sampling.uniform_sample(dev.out, seeds, 4, jax.random.key(5),
+                                     flt=flt)
+    vals = set(np.asarray(ids).ravel().tolist())
+    assert 4 not in vals and vals.issubset({5, 6})
+
+
+def test_negative_random_from_dst_pool():
+    et = _toy_edge_table()
+    dev = et.device()
+    neg = negative.negative_sample(dev, jnp.array([3, 5], jnp.int32), 8,
+                                   jax.random.key(6), "random")
+    pool = set(np.asarray(dev.unique_dst).tolist())
+    assert set(np.asarray(neg).ravel().tolist()).issubset(pool)
+
+
+def test_negative_in_degree_rejects_neighbors():
+    et = _toy_edge_table()
+    dev = et.device()
+    seeds = jnp.full((64,), 3, jnp.int32)  # neighbors 4,5,6
+    neg = negative.negative_sample(dev, seeds, 4, jax.random.key(7),
+                                   "in_degree")
+    vals = np.asarray(neg).ravel()
+    # candidate pool has many non-neighbors; rejection should remove most
+    # true neighbors (fallback can leak a few; require < 5%)
+    leak = np.isin(vals, [4, 5, 6]).mean()
+    assert leak < 0.05, leak
+
+
+def test_negative_node_weight():
+    et = _toy_edge_table()
+    nt = NodeTable("v", Decoder(weighted=True), np.arange(8) * 1,
+                   weights=np.arange(1, 9, dtype=np.float32))
+    neg = negative.negative_sample(et.device(), jnp.array([0], jnp.int32), 64,
+                                   jax.random.key(8), "node_weight",
+                                   dst_table=nt.device())
+    # higher-weight nodes should appear more often
+    vals = np.asarray(neg).ravel()
+    assert (vals >= 4).mean() > 0.5
+
+
+def test_deepwalk_follows_edges():
+    et = _toy_edge_table()
+    dev = et.device()
+    walks = walk.deepwalk(dev.out, jnp.array([3, 0], jnp.int32), 4,
+                          jax.random.key(9))
+    assert walks.shape == (2, 4)
+    w = np.asarray(walks)
+    assert w[0, 0] == 3 and w[1, 0] == 0
+    assert w[1, 1] == -1  # node 0 has no out edges -> stuck
+    ro = np.asarray(dev.out.row_offsets)
+    nbr = np.asarray(dev.out.nbr_ids)
+    cur = 3
+    for step in range(1, 4):
+        nxt = w[0, step]
+        if nxt < 0:
+            break
+        assert nxt in set(nbr[ro[cur]:ro[cur + 1]])
+        cur = nxt
+
+
+def test_node2vec_walk_shapes():
+    et = _toy_edge_table()
+    dev = et.device()
+    walks = walk.node2vec_walk(dev.out, jnp.array([3, 5, 7], jnp.int32), 5,
+                               jax.random.key(10), p=0.5, q=2.0)
+    assert walks.shape == (3, 5)
+    t, c, valid = walk.skipgram_pairs(walks, window=2)
+    assert t.shape == c.shape and t.shape[0] == 3
+
+
+def test_induce_subgraph():
+    et = _toy_edge_table()
+    dev = et.device()
+    # seeds {3,4,5}: edges within set: 3->4, 3->5 (3's nbrs are 4,5,6)
+    sg = induce_subgraph(dev.out, jnp.array([3, 4, 5], jnp.int32), nbr_cap=6)
+    assert int(sg.num_nodes) == 3
+    ei = np.asarray(sg.edge_index)[:, :int(sg.num_edges)]
+    uniq = np.asarray(sg.node_ids)
+    pairs = {(uniq[a], uniq[b]) for a, b in ei.T}
+    # expected: all edges among {3,4,5}
+    expect = set()
+    ro = np.asarray(dev.out.row_offsets)
+    nbr = np.asarray(dev.out.nbr_ids)
+    for s in (3, 4, 5):
+        for x in nbr[ro[s]:ro[s + 1]]:
+            if x in (3, 4, 5):
+                expect.add((s, int(x)))
+    assert pairs == expect
+
+
+def test_subgraph_bfs_dist():
+    et = _toy_edge_table()
+    sg = induce_subgraph(et.device().out, jnp.array([3, 4, 5, 6], jnp.int32),
+                         nbr_cap=6, need_dist=True)
+    ds = np.asarray(sg.dist_to_src)
+    assert ds[0] == 0  # root
+    assert ds.min() >= 0
+
+
+def test_segment_softmax():
+    vals = jnp.array([1.0, 2.0, 3.0, 1.0], jnp.float32)
+    seg = jnp.array([0, 0, 1, 1], jnp.int32)
+    sm = segment_softmax(vals, seg, 2)
+    np.testing.assert_allclose(np.asarray(sm[:2]).sum(), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sm[2:]).sum(), 1.0, rtol=1e-5)
+
+
+def test_aggregators():
+    feats = jnp.arange(12, dtype=jnp.float32).reshape(4, 3)
+    seg = jnp.array([0, 0, 1, 1], jnp.int32)
+    s = segment_aggregate(feats, seg, 2, "mean")
+    np.testing.assert_allclose(np.asarray(s)[0], [1.5, 2.5, 3.5])
+    # embedding_agg with mask
+    ids = jnp.array([[0, 1, 2], [3, 0, 0]], jnp.int32)
+    degs = jnp.array([2, 1], jnp.int32)
+    out = embedding_agg(feats, ids, degs, "sum")
+    np.testing.assert_allclose(np.asarray(out)[0], [3.0, 5.0, 7.0])
+    np.testing.assert_allclose(np.asarray(out)[1], [9.0, 10.0, 11.0])
