@@ -24,11 +24,12 @@ from graph_learn_tpu.errors import (GLError, InvalidArgumentError,
                                     NotFoundError, OutOfRangeError,
                                     UnimplementedError)
 from graph_learn_tpu.graph import Graph
+from graph_learn_tpu.gsl.dataset import Dataset
 
 __version__ = "0.1.0"
 
 __all__ = [
-    "Graph", "Decoder", "FeatureSpec", "Mask", "conf",
+    "Graph", "Dataset", "Decoder", "FeatureSpec", "Mask", "conf",
     "Nodes", "Edges", "SparseNodes", "SparseEdges", "SubGraphVal",
     "GLError", "OutOfRangeError", "InvalidArgumentError", "NotFoundError",
     "UnimplementedError",

@@ -109,6 +109,9 @@ class DeviceEdgeTable:
     # negative-sampling candidate tables (reference GetAllDstIds):
     unique_dst: Optional[jax.Array] = None  # [Du] sorted unique dst indices
     unique_dst_indeg_cdf: Optional[jax.Array] = None  # [Du] in-degree CDF
+    # reversed-side pools for inNeg:
+    unique_src: Optional[jax.Array] = None
+    unique_src_outdeg_cdf: Optional[jax.Array] = None
 
     @property
     def num_edges(self) -> int:
@@ -339,14 +342,19 @@ class EdgeTable:
                 nbr_edge_ids=_put(eids_i), nbr_ids_sorted=_put(nbr_si),
                 nbr_edge_ids_sorted=_put(eid_si),
                 cum_weights=_opt_put(cumw_i), cum_in_degrees=_opt_put(cumind_i))
-            uniq = np.unique(dst32)
-            indeg = self.in_degrees[uniq].astype(np.float64)
-            tot = indeg.sum()
-            cdf = np.cumsum(indeg / (tot if tot > 0 else 1.0)).astype(np.float32)
+            def _pool(ids32, degs):
+                uniq = np.unique(ids32)
+                d = degs[uniq].astype(np.float64)
+                tot = d.sum()
+                cdf = np.cumsum(d / (tot if tot > 0 else 1.0)).astype(np.float32)
+                return _put(uniq.astype(np.int32)), _put(cdf)
+
+            u_dst, u_dst_cdf = _pool(dst32, self.in_degrees)
+            u_src, u_src_cdf = _pool(src32, self.out_degrees)
             self._device = DeviceEdgeTable(
                 out=out, inc=inc, src=_put(src32), dst=_put(dst32),
-                unique_dst=_put(uniq.astype(np.int32)),
-                unique_dst_indeg_cdf=_put(cdf),
+                unique_dst=u_dst, unique_dst_indeg_cdf=u_dst_cdf,
+                unique_src=u_src, unique_src_outdeg_cdf=u_src_cdf,
                 int_attrs=_opt_put(self.int_attrs),
                 float_attrs=_opt_put(self.float_attrs),
                 multival_attrs=_opt_put(self.multival_attrs),

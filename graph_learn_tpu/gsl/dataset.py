@@ -1,0 +1,103 @@
+"""Dataset: epoch iterator over a compiled GSL query.
+
+Parity with the reference Dataset
+(reference: graphlearn/python/gsl/dag_dataset.py:29-155 + the C++ prefetch
+ring core/dag/dag_dataset.cc:26-70): ``next()`` returns {alias: value} per
+batch and raises OutOfRangeError at epoch end.
+
+TPU redesign: the reference's server-side proactive sampling + client pull
+ring is replaced by host seed generation (cheap) + async jitted device
+execution — dispatching the plan returns device futures (JAX async
+dispatch), so a lookahead window of ``conf.dataset_capacity`` batches keeps
+the device pipeline full while the host loop consumes.  Epoch boundaries
+are preserved by queueing an EOF marker in order.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graph_learn_tpu.config import conf
+from graph_learn_tpu.core.traversal import Traverser
+from graph_learn_tpu.errors import OutOfRangeError
+from graph_learn_tpu.gsl.compile import Query
+
+_EOF = object()
+
+
+class Dataset:
+    def __init__(self, query: Query, window: Optional[int] = None,
+                 seed: Optional[int] = None, drop_last: bool = False):
+        self.query = query
+        self.window = window if window is not None else conf.dataset_capacity
+        self.drop_last = drop_last
+        size, space = query.source_space()
+        self._space = space
+        src = query.source
+        self._trav = Traverser(size, query.dag.batch_size,
+                               strategy=src.strategy,
+                               seed=conf.seed if seed is None else seed)
+        if space == "node":
+            ns = query.graph.store.node_set(src.node_type)
+            self._seed_indices = ns.indices
+        else:
+            self._seed_indices = None
+        self._key = jax.random.key(conf.seed if seed is None else seed)
+        self._tables = query.device_tables()
+        self._plan = query.build()
+        self._pending = deque()
+
+    @property
+    def epoch(self) -> int:
+        return self._trav.epoch
+
+    @property
+    def batch_size(self) -> int:
+        return self._trav.batch_size
+
+    def _dispatch(self):
+        while True:
+            positions, count = self._trav.next()
+            if self.drop_last and count < self._trav.batch_size:
+                raise OutOfRangeError("No more nodes exist.")
+            seeds = (self._seed_indices[positions]
+                     if self._seed_indices is not None else positions)
+            self._key, sub = jax.random.split(self._key)
+            out = self._plan(self._tables, jnp.asarray(seeds, jnp.int32), sub)
+            return out, count
+
+    def _refill(self):
+        while len(self._pending) < self.window:
+            try:
+                self._pending.append(self._dispatch())
+            except OutOfRangeError:
+                self._pending.append(_EOF)
+                return
+
+    def next_with_count(self):
+        """({alias: value}, true_count) — raises OutOfRangeError at epoch end."""
+        if not self._pending:
+            self._refill()
+        item = self._pending.popleft()
+        if item is _EOF:
+            raise OutOfRangeError("No more nodes exist.")
+        self._refill()
+        return item
+
+    def next(self):
+        """One batch: {alias: Nodes/Edges/SparseNodes/SubGraphVal}."""
+        return self.next_with_count()[0]
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        try:
+            return self.next()
+        except OutOfRangeError:
+            raise StopIteration

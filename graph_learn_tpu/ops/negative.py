@@ -47,29 +47,36 @@ def _draw_cdf_ids(cand_ids: jax.Array, cdf: jax.Array, key: jax.Array, shape):
 
 
 def _reject_neighbors(et: DeviceEdgeTable, seeds: jax.Array,
-                      cands: jax.Array) -> jax.Array:
+                      cands: jax.Array, reverse: bool = False) -> jax.Array:
     """[b, k, R] -> True where candidate is a true neighbor of its seed."""
-    start, end, _ = row_bounds(et.out.row_offsets, seeds)
+    csr = et.inc if reverse else et.out
+    start, end, _ = row_bounds(csr.row_offsets, seeds)
     b = seeds.shape[0]
     extra = cands.shape[1:]
     lo = start.reshape((b,) + (1,) * len(extra))
     hi = end.reshape((b,) + (1,) * len(extra))
-    return segment_member(et.out.nbr_ids_sorted, lo, hi, cands)
+    return segment_member(csr.nbr_ids_sorted, lo, hi, cands)
 
 
 def negative_sample(et: DeviceEdgeTable, seeds: jax.Array, k: int,
                     key: jax.Array, strategy: str = "random",
-                    dst_table: Optional[DeviceNodeTable] = None) -> jax.Array:
-    """Returns [b, k] int32 negative dst indices."""
+                    dst_table: Optional[DeviceNodeTable] = None,
+                    reverse: bool = False) -> jax.Array:
+    """Returns [b, k] int32 negative dst indices.
+
+    ``reverse=True`` samples negatives on the incoming side (``inNeg``):
+    candidate pool and membership use the reversed topology.
+    """
+    pool = et.unique_src if reverse else et.unique_dst
+    pool_cdf = et.unique_src_outdeg_cdf if reverse else et.unique_dst_indeg_cdf
     b = seeds.shape[0]
     if strategy == "random":
         # parity: no neighbor rejection (random_negative_sampler.cc:53-59)
-        return _draw_uniform_ids(et.unique_dst, key, (b, k))
+        return _draw_uniform_ids(pool, key, (b, k))
 
     rounds = conf.sampling_retry_times + 1
     if strategy in ("in_degree", "soft_in_degree"):
-        cands = _draw_cdf_ids(et.unique_dst, et.unique_dst_indeg_cdf,
-                              key, (b, k, rounds))
+        cands = _draw_cdf_ids(pool, pool_cdf, key, (b, k, rounds))
     elif strategy == "node_weight":
         if dst_table is None or dst_table.cum_weights is None:
             raise ValueError("node_weight negative sampling needs a weighted "
@@ -82,7 +89,7 @@ def negative_sample(et: DeviceEdgeTable, seeds: jax.Array, k: int,
 
     if strategy == "soft_in_degree":
         return cands[..., 0]
-    bad = _reject_neighbors(et, seeds, cands)
+    bad = _reject_neighbors(et, seeds, cands, reverse=reverse)
     first_ok = jnp.argmax(~bad, axis=-1)
     all_bad = jnp.all(bad, axis=-1)
     pick = jnp.where(all_bad, rounds - 1, first_ok)  # fallback: accept anyway
