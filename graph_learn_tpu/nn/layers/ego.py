@@ -1,0 +1,188 @@
+"""EgoGraph convolution layers: SAGE / GAT / GIN / RGCN.
+
+Math parity with the reference TF layers (shapes [batch, expand, dim],
+dense reshape-reduce — the pattern XLA tiles perfectly onto the MXU/VPU):
+
+- EgoSAGEConv: reference nn/tf/layers/ego_sage_conv.py:75-106
+  (mean/sum/max aggregate neighbors -> concat with x -> Linear;
+  'gcn' aggregates x together with neighbors then Linear)
+- EgoGATConv: ego_gat_conv.py:84-119 (per-head: project x & nbrs,
+  leaky-relu attention logits, softmax over expand, weighted sum;
+  heads averaged)
+- EgoGINConv: ego_gin_conv.py:80-99 (W((1+eps)x + sum nbrs))
+- EgoRGCNConv: ego_rgcn_conv.py:85-150 (per-relation weights with
+  basis/block decomposition, aggregated over relations + root weight)
+- EgoLayer: ego_layer.py:41-94 (one conv per adjacent hop pair)
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+InDim = Union[int, Tuple[int, int]]
+
+
+def _pair(in_dim: InDim) -> Tuple[int, int]:
+    if isinstance(in_dim, (tuple, list)):
+        assert len(in_dim) == 2
+        return tuple(in_dim)
+    return (in_dim, in_dim)
+
+
+class EgoSAGEConv(nn.Module):
+    in_dim: InDim
+    out_dim: int
+    agg_type: str = "mean"  # mean | sum | max | gcn
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, neighbor, expand):
+        din = _pair(self.in_dim)
+        nbr = neighbor.reshape((-1, expand, din[1]))
+        if self.agg_type == "gcn":
+            # mean over [nbrs ++ x] then Linear (ego_sage_conv.py:84-88)
+            h = jnp.concatenate([nbr, x[:, None, :]], axis=1)
+            h = jnp.mean(h, axis=1)
+            return nn.Dense(self.out_dim, use_bias=self.use_bias,
+                            name="trans_nodes")(h)
+        if self.agg_type == "mean":
+            agg = jnp.mean(nbr, axis=1)
+        elif self.agg_type == "sum":
+            agg = jnp.sum(nbr, axis=1)
+        elif self.agg_type == "max":
+            agg = jnp.max(nbr, axis=1)
+        else:
+            raise ValueError("unknown agg_type %r" % self.agg_type)
+        h = jnp.concatenate([x, agg], axis=1)
+        return nn.Dense(self.out_dim, use_bias=self.use_bias,
+                        name="trans_nodes")(h)
+
+
+class EgoGATConv(nn.Module):
+    in_dim: InDim
+    out_dim: int
+    num_head: int = 1
+    use_bias: bool = False
+    attn_dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, neighbor, expand, training: bool = False):
+        din = _pair(self.in_dim)
+        is_homo = din[0] == din[1]
+        outs = []
+        for i in range(self.num_head):
+            x_layer = nn.Dense(self.out_dim, use_bias=self.use_bias,
+                               name="x_%d" % i)
+            n_layer = x_layer if is_homo else nn.Dense(
+                self.out_dim, use_bias=self.use_bias, name="n_%d" % i)
+            attn = nn.Dense(1, use_bias=self.use_bias, name="attn_%d" % i)
+            xh = x_layer(x)  # [b, out]
+            nh = n_layer(neighbor).reshape((-1, expand, self.out_dim))
+            xt = jnp.broadcast_to(xh[:, None, :], nh.shape)
+            logits = attn(jnp.concatenate([xt, nh], axis=-1))  # [b, e, 1]
+            coef = jax.nn.softmax(nn.leaky_relu(logits), axis=1)
+            if self.attn_dropout and training:
+                coef = nn.Dropout(self.attn_dropout, deterministic=False)(coef)
+            outs.append(jnp.sum(coef * nh, axis=1))
+        return jnp.mean(jnp.stack(outs, axis=0), axis=0)
+
+
+class EgoGINConv(nn.Module):
+    in_dim: InDim
+    out_dim: int
+    eps: float = 0.0
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, neighbor, expand):
+        din = _pair(self.in_dim)
+        nbr = neighbor.reshape((-1, expand, din[1]))
+        agg = jnp.sum(nbr, axis=1)
+        if din[0] != din[1]:
+            x = nn.Dense(self.out_dim, use_bias=self.use_bias,
+                         name="trans_x")((1.0 + self.eps) * x)
+            agg = nn.Dense(self.out_dim, use_bias=self.use_bias,
+                           name="trans_nbrs")(agg)
+            return nn.Dense(self.out_dim, use_bias=self.use_bias,
+                            name="output")(x + agg)
+        return nn.Dense(self.out_dim, use_bias=self.use_bias,
+                        name="output")((1.0 + self.eps) * x + agg)
+
+
+class EgoRGCNConv(nn.Module):
+    """Multi-relation conv; ``neighbor`` is a list of per-relation tensors.
+
+    Weight shapes match the reference exactly (ego_rgcn_conv.py:85-101):
+    bases [B, in, out] + coefficient [R, B]; blocks [R, nb, in/nb, out/nb];
+    else [R, in, out]; separate root Linear.  Relations are batched into a
+    single einsum over the relation axis — the TPU-native "expert parallel"
+    formulation (one big MXU contraction instead of R small ones).
+    """
+
+    in_dim: InDim
+    out_dim: int
+    num_relations: int
+    num_bases: Optional[int] = None
+    num_blocks: Optional[int] = None
+    agg_type: str = "mean"
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, neighbors: Sequence[jax.Array], expand):
+        assert len(neighbors) == self.num_relations
+        din = _pair(self.in_dim)
+        R, I, O = self.num_relations, din[1], self.out_dim
+
+        def agg(t):
+            t = t.reshape((-1, expand, I))
+            if self.agg_type == "mean":
+                return jnp.mean(t, axis=1)
+            if self.agg_type == "sum":
+                return jnp.sum(t, axis=1)
+            return jnp.max(t, axis=1)
+
+        h = jnp.stack([agg(n) for n in neighbors], axis=0)  # [R, b, I]
+
+        init = nn.initializers.lecun_normal()
+        if self.num_bases is not None:
+            basis = self.param("weight", init, (self.num_bases, I, O))
+            coeff = self.param("coefficient", init, (R, self.num_bases))
+            w = jnp.einsum("rb,bio->rio", coeff, basis)
+            out = jnp.einsum("rbi,rio->rbo", h, w)
+        elif self.num_blocks is not None:
+            nb = self.num_blocks
+            assert I % nb == 0 and O % nb == 0
+            w = self.param("weight", init, (R, nb, I // nb, O // nb))
+            hb = h.reshape((R, -1, nb, I // nb))
+            out = jnp.einsum("rbni,rnio->rbno", hb, w).reshape((R, -1, O))
+        else:
+            w = self.param("weight", init, (R, I, O))
+            out = jnp.einsum("rbi,rio->rbo", h, w)
+        out = jnp.sum(out, axis=0)  # sum over relations (ego_rgcn_conv.py:141)
+        out = out + nn.Dense(O, use_bias=False, name="root_weight")(x)
+        if self.use_bias:
+            out = out + self.param("bias", nn.initializers.zeros, (O,))
+        return out
+
+
+class EgoLayer(nn.Module):
+    """Apply conv i to hop pair (i-1, i): h_out[i] = conv_i(h[i], h[i+1]).
+
+    ``share`` replicates ONE conv's params across all pairs of this layer
+    (reference parameter sharing: EgoLayer([conv] * n), ego_sage.py:50-63).
+    """
+
+    convs: Sequence[nn.Module]
+    share: bool = True
+
+    def __call__(self, x_list, expands, **kwargs):
+        assert len(x_list) - 1 == len(expands)
+        out = []
+        for i in range(1, len(x_list)):
+            conv = self.convs[0] if self.share else self.convs[i - 1]
+            out.append(conv(x_list[i - 1], x_list[i], expands[i - 1], **kwargs))
+        return out

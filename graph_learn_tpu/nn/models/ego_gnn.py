@@ -1,0 +1,162 @@
+"""EgoGNN: hop-list folding over EgoLayers + concrete model classes.
+
+Parity with the reference
+(reference: graphlearn/python/nn/tf/model/ego_gnn.py:32-110 folding;
+examples/tf/ego_sage/ego_sage.py:30-66, ego_gat/ego_gat.py,
+ego_rgcn/ego_rgcn.py model constructions with per-level parameter sharing).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from graph_learn_tpu.core.schema import Decoder
+from graph_learn_tpu.nn.data import EgoGraph
+from graph_learn_tpu.nn.feature_column import FeatureEncoder
+from graph_learn_tpu.nn.layers.ego import (EgoGATConv, EgoGINConv, EgoLayer,
+                                           EgoRGCNConv, EgoSAGEConv)
+
+
+class EgoGNN(nn.Module):
+    """Fold K+1 hop tensors through EgoLayers (ego_gnn.py:58-110).
+
+    ``encoders``: one FeatureEncoder per hop position (index 0 = src);
+    pass the same instance to share.  Hidden activations get act/dropout
+    between levels, none after the last.
+    """
+
+    layers: Sequence[EgoLayer]
+    encoder: Optional[nn.Module] = None  # shared homo encoder
+    hop_encoders: Optional[Sequence[nn.Module]] = None  # hetero per-hop
+    act: Callable = nn.relu
+    dropout: float = 0.0
+
+    def _encode(self, ego: EgoGraph):
+        h = []
+        values = [ego.src] + list(ego.hops)
+        for i, v in enumerate(values):
+            enc = (self.hop_encoders[i] if self.hop_encoders is not None
+                   else self.encoder)
+            h.append(enc(v))
+        return h
+
+    @nn.compact
+    def __call__(self, ego: EgoGraph, training: bool = False):
+        h = self._encode(ego)
+        hops = list(ego.nbr_nums)
+        n_layers = len(self.layers)
+        for i in range(n_layers - 1):
+            current = hops if i == 0 else hops[:len(hops) - i]
+            h = self.layers[i](h, current)
+            out = []
+            for x in h:
+                x = self.act(x)
+                if self.dropout:
+                    x = nn.Dropout(self.dropout,
+                                   deterministic=not training)(x)
+                out.append(x)
+            h = out
+        h = self.layers[-1](h, [hops[0]])
+        assert len(h) == 1
+        return h[0]
+
+
+def EgoGraphSAGE(dims: Sequence[int], decoder: Decoder,
+                 agg_type: str = "gcn", act: Callable = nn.relu,
+                 dropout: float = 0.0) -> EgoGNN:
+    """dims[0] must equal the encoder output dim (features_num for Cora)."""
+    layers = []
+    for i in range(len(dims) - 1):
+        conv = EgoSAGEConv(in_dim=dims[i], out_dim=dims[i + 1],
+                           agg_type=agg_type, name="sage_%d" % i)
+        layers.append(EgoLayer(convs=[conv] * (len(dims) - 1 - i),
+                               name="layer_%d" % i))
+    return EgoGNN(layers=layers, encoder=FeatureEncoder(decoder),
+                  act=act, dropout=dropout)
+
+
+def EgoGAT(dims: Sequence[int], decoder: Decoder,
+           num_heads: Optional[Sequence[int]] = None,
+           attn_dropout: float = 0.0, act: Callable = nn.relu,
+           dropout: float = 0.0) -> EgoGNN:
+    layers = []
+    for i in range(len(dims) - 1):
+        conv = EgoGATConv(in_dim=dims[i], out_dim=dims[i + 1],
+                          num_head=(num_heads[i] if num_heads else 1),
+                          attn_dropout=attn_dropout, name="gat_%d" % i)
+        layers.append(EgoLayer(convs=[conv] * (len(dims) - 1 - i),
+                               name="layer_%d" % i))
+    return EgoGNN(layers=layers, encoder=FeatureEncoder(decoder),
+                  act=act, dropout=dropout)
+
+
+def EgoGIN(dims: Sequence[int], decoder: Decoder, eps: float = 0.0,
+           act: Callable = nn.relu, dropout: float = 0.0) -> EgoGNN:
+    layers = []
+    for i in range(len(dims) - 1):
+        conv = EgoGINConv(in_dim=dims[i], out_dim=dims[i + 1], eps=eps,
+                          name="gin_%d" % i)
+        layers.append(EgoLayer(convs=[conv] * (len(dims) - 1 - i),
+                               name="layer_%d" % i))
+    return EgoGNN(layers=layers, encoder=FeatureEncoder(decoder),
+                  act=act, dropout=dropout)
+
+
+class EgoRGCN(nn.Module):
+    """Multi-relation EgoGNN (reference examples/tf/ego_rgcn/ego_rgcn.py).
+
+    The EgoGraph here carries hops from R relations per level: hop layout
+    follows the reference data loader — level l has R^l groups of
+    per-relation hop tensors.  For the common 2-relation 2-hop case the
+    hop aliases order is [r0_h1, r1_h1, r0r0_h2, r0r1_h2, r1r0_h2, r1r1_h2].
+    """
+
+    dims: Sequence[int]
+    decoder: Decoder
+    num_relations: int
+    num_bases: Optional[int] = None
+    num_blocks: Optional[int] = None
+    agg_type: str = "mean"
+    act: Callable = nn.relu
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, ego: EgoGraph, training: bool = False):
+        R = self.num_relations
+        enc = FeatureEncoder(self.decoder)
+        values = [ego.src] + list(ego.hops)
+        h = [enc(v) for v in values]
+        # group flat hop list into levels: level l has R^l tensors
+        levels: List[List[jax.Array]] = [[h[0]]]
+        idx = 1
+        K = len(self.dims) - 1
+        for l in range(1, K + 1):
+            cnt = R ** l
+            levels.append(h[idx:idx + cnt])
+            idx += cnt
+        expands = list(ego.nbr_nums)  # per-level fanouts [k1, ..., kK]
+
+        for i in range(K):
+            conv = EgoRGCNConv(in_dim=self.dims[i], out_dim=self.dims[i + 1],
+                               num_relations=R, num_bases=self.num_bases,
+                               num_blocks=self.num_blocks,
+                               agg_type=self.agg_type, name="rgcn_%d" % i)
+            new_levels = []
+            for l in range(K - i):
+                outs = []
+                for g in range(R ** l):
+                    x = levels[l][g]
+                    nbrs = [levels[l + 1][g * R + r] for r in range(R)]
+                    outs.append(conv(x, nbrs, expands[l]))
+                new_levels.append(outs)
+            levels = new_levels
+            if i < K - 1:
+                levels = [[
+                    nn.Dropout(self.dropout, deterministic=not training)(
+                        self.act(x)) if self.dropout else self.act(x)
+                    for x in lv] for lv in levels]
+        return levels[0][0]
