@@ -1,0 +1,183 @@
+"""Benchmark: fused EgoSAGE sample+train throughput in aggregated edges/s.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The metric counts edges flowing through the fused train step per second:
+batch * (k1 + k1*k2) sampled-and-aggregated edges per step (2-hop EgoSAGE,
+forward+backward+update), on the default backend (TPU chip under the
+driver).  vs_baseline is the ratio against a CPU run of the same pipeline
+(the reference is a CPU system; BASELINE.json targets >= 3x CPU per chip).
+
+Env:
+  GLT_BENCH_SMALL=1   shrink workload (CI smoke)
+  GLT_PLATFORM=cpu    run the main measurement on CPU too
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SMALL = os.environ.get("GLT_BENCH_SMALL") == "1"
+
+CFG = dict(
+    n_nodes=20_000 if SMALL else 200_000,
+    avg_degree=8 if SMALL else 16,
+    feat_dim=64 if SMALL else 128,
+    hidden=64 if SMALL else 256,
+    batch=256 if SMALL else 1024,
+    fanout=(15, 10),
+    classes=32,
+    steps=10 if SMALL else 30,
+    warmup=3,
+)
+
+
+def build_graph_inmem(cfg, seed=0):
+    """Synthetic graph straight into the store (no TSV round trip)."""
+    import numpy as np
+
+    from graph_learn_tpu.core.schema import Decoder
+    from graph_learn_tpu.core.store import EdgeTable, GraphStore, NodeTable
+    from graph_learn_tpu.graph import Graph
+
+    rng = np.random.default_rng(seed)
+    n, d = cfg["n_nodes"], cfg["feat_dim"]
+    e = n * cfg["avg_degree"]
+    node_dec = Decoder(labeled=True, attr_types=["float"] * d)
+    edge_dec = Decoder(weighted=True)
+
+    g = Graph()
+    nt = NodeTable("item", node_dec, np.arange(n, dtype=np.int64),
+                   float_attrs=rng.standard_normal((n, d), np.float32),
+                   labels=rng.integers(0, cfg["classes"], n).astype(np.int32))
+    g.store.add_node_table(nt)
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    et = EdgeTable("rel", "item", "item", edge_dec, src=src, dst=dst,
+                   num_src_nodes=n, num_dst_nodes=n,
+                   weights=rng.random(e).astype(np.float32))
+    g.store.add_edge_table(et)
+    g._node_decoders["item"] = node_dec
+    g._edge_decoders["rel"] = edge_dec
+    g._initialized = True
+    return g, node_dec
+
+
+def run_bench(cfg):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    import graph_learn_tpu as gl
+    from graph_learn_tpu.gsl.compile import _execute
+    from graph_learn_tpu.nn.data import EgoGraph
+    from graph_learn_tpu.nn.loss import supervised_softmax_loss
+    from graph_learn_tpu.nn.models.ego_gnn import EgoGraphSAGE
+
+    g, dec = build_graph_inmem(cfg)
+    k1, k2 = cfg["fanout"]
+    b = cfg["batch"]
+    q = (g.V("item").batch(b).alias("src")
+         .outV("rel").sample(k1).by("random").alias("hop1")
+         .outV("rel").sample(k2).by("random").alias("hop2").values())
+    model = EgoGraphSAGE([cfg["feat_dim"], cfg["hidden"], cfg["classes"]],
+                         dec, agg_type="gcn")
+    tables = q.device_tables()
+    hop_aliases = ["hop1", "hop2"]
+
+    ds = gl.Dataset(q, window=1)
+    b0 = ds.next()
+    ego0 = EgoGraph.from_query_result(b0, "src", hop_aliases)
+    params = model.init(jax.random.key(0), ego0, training=False)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    @jax.jit
+    def step(params, opt_state, seeds, key):
+        ks, km = jax.random.split(key)
+        batch = _execute(q, tables, seeds, ks)
+
+        def lf(p):
+            ego = EgoGraph.from_query_result(batch, "src", hop_aliases)
+            logits = model.apply(p, ego, training=True, rngs={"dropout": km})
+            return supervised_softmax_loss(logits, batch["src"].labels)
+
+        loss, grads = jax.value_and_grad(lf)(params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    n = cfg["n_nodes"]
+    rng = np.random.default_rng(1)
+    key = jax.random.key(2)
+
+    def one(i):
+        nonlocal params, opt_state, key
+        seeds = jnp.asarray(rng.integers(0, n, b), jnp.int32)
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, seeds, sub)
+        return loss
+
+    for i in range(cfg["warmup"]):
+        one(i).block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(cfg["steps"]):
+        loss = one(i)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    edges_per_step = b * (k1 + k1 * k2)
+    return edges_per_step * cfg["steps"] / dt
+
+
+def cpu_baseline(cfg):
+    """Same pipeline on CPU backend in a subprocess; cached on disk."""
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cpu_baseline.json")
+    key = json.dumps(cfg, sort_keys=True)
+    if os.path.exists(cache):
+        try:
+            data = json.load(open(cache))
+            if data.get("key") == key:
+                return data["value"]
+        except Exception:
+            pass
+    code = ("import os,sys,json;"
+            "sys.path.insert(0,%r);"
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "import bench;"
+            "cfg=json.loads(%r); cfg['steps']=5; cfg['warmup']=1;"
+            "print('CPU_EPS', bench.run_bench(cfg))"
+            % (os.path.dirname(os.path.abspath(__file__)), key))
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=1200)
+        for ln in out.stdout.splitlines():
+            if ln.startswith("CPU_EPS"):
+                v = float(ln.split()[1])
+                json.dump({"key": key, "value": v}, open(cache, "w"))
+                return v
+    except Exception:
+        pass
+    return None
+
+
+def main():
+    from graph_learn_tpu.utils.platform import ensure_platform
+    ensure_platform()
+    eps = run_bench(CFG)
+    base = cpu_baseline(CFG)
+    print(json.dumps({
+        "metric": "ego_sage_train_edges_per_s",
+        "value": round(eps, 1),
+        "unit": "edges/s/chip",
+        "vs_baseline": round(eps / base, 2) if base else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,100 @@
+"""Sharded training step tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import graph_learn_tpu as gl
+from graph_learn_tpu.nn.data import EgoGraph
+from graph_learn_tpu.nn.loss import supervised_softmax_loss
+from graph_learn_tpu.nn.models.ego_gnn import EgoGraphSAGE
+from graph_learn_tpu.parallel.mesh import (make_mesh, params_sharding_rules,
+                                           shard_tables)
+from graph_learn_tpu.parallel.train import make_sharded_train_step
+
+
+@pytest.fixture
+def sharded_setup(tmp_graph_dir):
+    g = gl.Graph()
+    g.node(tmp_graph_dir["node"], node_type="item",
+           decoder=gl.Decoder(weighted=True, labeled=True,
+                              attr_types=["float"] * 4))
+    g.edge(tmp_graph_dir["edge"], edge_type=("item", "item", "rel"),
+           decoder=gl.Decoder(weighted=True))
+    g.init()
+    dec = g.get_node_decoder("item")
+    q = (g.V("item").batch(16).alias("src")
+         .outV("rel").sample(4).by("random").alias("hop1")
+         .outV("rel").sample(2).by("random").alias("hop2").values())
+    model = EgoGraphSAGE([4, 8, 5], dec, agg_type="mean")
+    return g, q, model
+
+
+def _loss_fn(model, p, batch, rng, training):
+    ego = EgoGraph.from_query_result(batch, "src", ["hop1", "hop2"])
+    logits = model.apply(p, ego, training=training, rngs={"dropout": rng})
+    return supervised_softmax_loss(logits, batch["src"].labels)
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8
+    mesh = make_mesh(n_data=4, n_graph=2)
+    assert mesh.shape == {"data": 4, "graph": 2}
+
+
+def test_sharded_step_runs_and_updates(sharded_setup):
+    g, q, model = sharded_setup
+    mesh = make_mesh(n_data=4, n_graph=2)
+    tables = shard_tables(q.device_tables(), mesh)
+
+    ds = gl.Dataset(q, window=1)
+    b0 = ds.next()
+    ego0 = EgoGraph.from_query_result(b0, "src", ["hop1", "hop2"])
+    params = model.init(jax.random.key(0), ego0, training=False)
+    params = jax.device_put(params, params_sharding_rules(params, mesh))
+    opt = optax.adam(0.05)
+    opt_state = opt.init(params)
+    step = make_sharded_train_step(q, model, _loss_fn, opt, mesh)
+
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), params)
+    seeds = jnp.arange(16, dtype=jnp.int32)
+    with mesh:
+        params2, opt_state, loss = step(params, opt_state, tables, seeds,
+                                        jax.random.key(1))
+    assert np.isfinite(float(loss))
+    moved = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+                         params2, before)
+    assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_sharded_matches_single_device(sharded_setup):
+    """Same seeds/key: the sharded loss equals the unsharded loss."""
+    g, q, model = sharded_setup
+    tables_local = q.device_tables()
+    ds = gl.Dataset(q, window=1)
+    b0 = ds.next()
+    ego0 = EgoGraph.from_query_result(b0, "src", ["hop1", "hop2"])
+    params = model.init(jax.random.key(0), ego0, training=False)
+    opt = optax.adam(0.05)
+
+    from graph_learn_tpu.gsl.compile import _execute
+
+    @jax.jit
+    def local_loss(params, seeds, key):
+        ks, km = jax.random.split(key)
+        batch = _execute(q, tables_local, seeds, ks)
+        return _loss_fn(model, params, batch, km, True)
+
+    seeds = jnp.arange(16, dtype=jnp.int32)
+    l_local = float(local_loss(params, seeds, jax.random.key(1)))
+
+    mesh = make_mesh(n_data=8, n_graph=1)
+    tables = shard_tables(q.device_tables(), mesh)
+    p_sh = jax.device_put(params, params_sharding_rules(params, mesh))
+    opt_state = opt.init(p_sh)
+    step = make_sharded_train_step(q, model, _loss_fn, opt, mesh)
+    with mesh:
+        _, _, l_sh = step(p_sh, opt_state, tables, seeds, jax.random.key(1))
+    np.testing.assert_allclose(float(l_sh), l_local, rtol=1e-4)
