@@ -1,0 +1,90 @@
+"""BatchGraph: batched per-sample subgraphs with offset-rebased edge_index.
+
+Parity with the reference BatchGraph
+(reference: graphlearn/python/nn/tf/data/batchgraph.py:182-255
+``from_graphs`` — concatenates per-sample SubGraphs, records node/edge
+offsets, rebases edge_index; flatten/from_tensors round trip for tf.data).
+
+TPU shape-static translation: per-sample subgraphs share fixed caps
+(N_cap nodes, E_cap edges), so batching is a reshape: sample i's node j is
+global node i*N_cap + j.  Validity masks carry raggedness.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from graph_learn_tpu.core.values import Nodes, SubGraphVal
+
+
+@struct.dataclass
+class BatchGraph:
+    """B per-sample subgraphs merged into one disjoint graph."""
+
+    edge_index: jax.Array  # [2, B*E_cap] rebased
+    node_ids: jax.Array  # [B*N_cap] store indices (padding -> 0)
+    node_mask: jax.Array  # [B*N_cap] bool
+    edge_mask: jax.Array  # [B*E_cap] bool
+    graph_ids: jax.Array  # [B*N_cap] which sample each node belongs to
+    num_samples: int = struct.field(pytree_node=False, default=0)
+    node_cap: int = struct.field(pytree_node=False, default=0)
+    nodes: Optional[Nodes] = None  # payload for all node slots
+    dist_to_src: Optional[jax.Array] = None  # [B*N_cap]
+    dist_to_dst: Optional[jax.Array] = None
+
+    @property
+    def num_nodes(self) -> int:
+        return self.node_ids.shape[0]
+
+    @classmethod
+    def from_subgraphs(cls, sg: SubGraphVal) -> "BatchGraph":
+        """sg: a vmapped SubGraphVal with leading batch dim B."""
+        B, N_cap = sg.node_ids.shape
+        E_cap = sg.edge_index.shape[-1]
+        # sg.edge_index is [B, 2, E_cap]; add per-sample node offsets
+        offs = (jnp.arange(B, dtype=jnp.int32) * N_cap)[:, None, None]
+        ei = sg.edge_index + offs
+        edge_index = ei.transpose(1, 0, 2).reshape(2, B * E_cap)
+        node_mask = (jnp.arange(N_cap, dtype=jnp.int32)[None, :]
+                     < sg.num_nodes[:, None]).reshape(-1)
+        edge_mask = (jnp.arange(E_cap, dtype=jnp.int32)[None, :]
+                     < sg.num_edges[:, None]).reshape(-1)
+        fill = jnp.int32(2**31 - 1)
+        node_ids = jnp.where(sg.node_ids == fill, 0, sg.node_ids).reshape(-1)
+        graph_ids = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], (B, N_cap)).reshape(-1)
+        nodes = None
+        if sg.nodes is not None:
+            nodes = jax.tree.map(
+                lambda x: x.reshape((B * N_cap,) + x.shape[2:]), sg.nodes)
+        d2s = (sg.dist_to_src.reshape(-1)
+               if sg.dist_to_src is not None else None)
+        d2d = (sg.dist_to_dst.reshape(-1)
+               if sg.dist_to_dst is not None else None)
+        return cls(edge_index=edge_index, node_ids=node_ids,
+                   node_mask=node_mask, edge_mask=edge_mask,
+                   graph_ids=graph_ids, num_samples=B, node_cap=N_cap,
+                   nodes=nodes, dist_to_src=d2s, dist_to_dst=d2d)
+
+    def readout(self, h: jax.Array, op: str = "mean") -> jax.Array:
+        """Per-sample pooling of node embeddings -> [B, d]."""
+        hm = jnp.where(self.node_mask[:, None], h, 0.0)
+        s = jax.ops.segment_sum(hm, self.graph_ids,
+                                num_segments=self.num_samples)
+        if op == "sum":
+            return s
+        cnt = jax.ops.segment_sum(self.node_mask.astype(h.dtype),
+                                  self.graph_ids,
+                                  num_segments=self.num_samples)
+        if op == "mean":
+            return s / jnp.maximum(cnt, 1.0)[:, None]
+        if op == "max":
+            hneg = jnp.where(self.node_mask[:, None], h, -jnp.inf)
+            m = jax.ops.segment_max(hneg, self.graph_ids,
+                                    num_segments=self.num_samples)
+            return jnp.where(jnp.isfinite(m), m, 0.0)
+        raise ValueError(op)

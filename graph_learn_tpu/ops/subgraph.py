@@ -88,6 +88,22 @@ def induce_subgraph(csr: DeviceCSR, seeds: jax.Array,
                        dist_to_src=dist_src, dist_to_dst=dist_dst)
 
 
+def induce_batched(csr: DeviceCSR, seed_sets: jax.Array,
+                   nbr_cap: Optional[int] = None,
+                   need_dist: bool = False,
+                   num_bfs_steps: int = 3) -> SubGraphVal:
+    """Per-sample induction: seed_sets [B, S] -> stacked SubGraphVal.
+
+    Equivalent of the reference per-sample SubGraph sampling batched by
+    BatchGraph.from_graphs (each SEAL link gets its own enclosing
+    subgraph); vmapped so all B inductions run as one fused program.
+    """
+    fn = lambda s: induce_subgraph(csr, s, nbr_cap=nbr_cap,
+                                   need_dist=need_dist,
+                                   num_bfs_steps=num_bfs_steps)
+    return jax.vmap(fn)(seed_sets)
+
+
 def _bfs_local(edge_index: jax.Array, edge_valid: jax.Array, n: int,
                root: jax.Array, steps: int) -> jax.Array:
     """Hop distance from `root` over local edges; unreachable = steps+1."""
