@@ -67,6 +67,10 @@ def build_graph_inmem(cfg, seed=0):
     return g, node_dec
 
 
+def _log(msg):
+    print("[bench] " + msg, file=sys.stderr, flush=True)
+
+
 def run_bench(cfg):
     import jax
     import jax.numpy as jnp
@@ -79,7 +83,9 @@ def run_bench(cfg):
     from graph_learn_tpu.nn.loss import supervised_softmax_loss
     from graph_learn_tpu.nn.models.ego_gnn import EgoGraphSAGE
 
+    t0 = time.perf_counter()
     g, dec = build_graph_inmem(cfg)
+    _log("graph built (host) %.1fs" % (time.perf_counter() - t0))
     k1, k2 = cfg["fanout"]
     b = cfg["batch"]
     q = (g.V("item").batch(b).alias("src")
@@ -87,11 +93,17 @@ def run_bench(cfg):
          .outV("rel").sample(k2).by("random").alias("hop2").values())
     model = EgoGraphSAGE([cfg["feat_dim"], cfg["hidden"], cfg["classes"]],
                          dec, agg_type="gcn")
+    t0 = time.perf_counter()
     tables = q.device_tables()
+    jax.block_until_ready(tables)
+    _log("tables on device %.1fs" % (time.perf_counter() - t0))
     hop_aliases = ["hop1", "hop2"]
 
+    t0 = time.perf_counter()
     ds = gl.Dataset(q, window=1)
     b0 = ds.next()
+    jax.block_until_ready(b0)
+    _log("first plan batch %.1fs" % (time.perf_counter() - t0))
     ego0 = EgoGraph.from_query_result(b0, "src", hop_aliases)
     params = model.init(jax.random.key(0), ego0, training=False)
     optimizer = optax.adam(1e-3)
@@ -122,8 +134,10 @@ def run_bench(cfg):
         params, opt_state, loss = step(params, opt_state, seeds, sub)
         return loss
 
+    t0 = time.perf_counter()
     for i in range(cfg["warmup"]):
         one(i).block_until_ready()
+    _log("warmup (compile) %.1fs" % (time.perf_counter() - t0))
     t0 = time.perf_counter()
     for i in range(cfg["steps"]):
         loss = one(i)

@@ -213,6 +213,37 @@ class Graph:
             np.asarray(node_ids, np.int64))
         return et.in_degrees[idx]
 
+    def lookup_nodes(self, node_type: str, ids: np.ndarray):
+        """Attributes of the given raw node ids (reference graph.py:979)."""
+        from graph_learn_tpu.ops.lookup import lookup_nodes as _ln
+        t = self.store.node_table(node_type)
+        idx = t.index.lookup(np.asarray(ids, np.int64))
+        import jax.numpy as jnp
+        return _ln(t.device(), jnp.asarray(idx), type_name=node_type)
+
+    def lookup_edges(self, edge_type: str, edge_ids: np.ndarray):
+        """Attributes of the given edge row indices (graph.py:1013)."""
+        from graph_learn_tpu.ops.lookup import edge_payload
+        import jax.numpy as jnp
+        et = self.store.edge_table(edge_type)
+        return edge_payload(et.device(), jnp.asarray(edge_ids, jnp.int32))
+
+    # --- KNN (reference contrib/knn; graph.py:1054-1057) --------------
+    def search(self, node_type: str, inputs: np.ndarray, option):
+        from graph_learn_tpu.ops import knn as knn_ops
+        key = (node_type, option.index_type)
+        if not hasattr(self, "_knn_indexes"):
+            self._knn_indexes = {}
+        if key not in self._knn_indexes:
+            t = self.store.node_table(node_type)
+            if t.float_attrs is None:
+                raise InvalidArgumentError(
+                    "node type %r has no float attrs for KNN" % node_type)
+            self._knn_indexes[key] = knn_ops.build_index(
+                t.float_attrs, t.raw_ids, option)
+        return self._knn_indexes[key].search(np.asarray(inputs, np.float32),
+                                             option.k)
+
     # --- GSL entry points (defined in gsl/query.py; attached lazily to
     # avoid an import cycle) -------------------------------------------
     def V(self, t: str, node_from=None, mask: Union[Mask, str, None] = Mask.NONE):

@@ -83,10 +83,35 @@ class Query:
             if n.node_type:
                 ns = store.node_sets.get(n.node_type)
                 node_types.add(ns.base_type if ns else n.node_type)
-        return {
+        out = {
             "nodes": {t: store.node_table(t).device() for t in node_types},
             "edges": {t: store.edge_table(t).device() for t in edge_types},
+            "cond": {},
         }
+        # condition tables for .where() conditional negative sampling
+        from graph_learn_tpu.ops.conditional import ConditionTable
+        for n in self.dag.nodes:
+            if n.strategy != "conditional":
+                continue
+            s_t, d_t = store.topology[n.edge_type]
+            result_t = s_t if n.kind == "in_neg" else d_t
+            nt = store.node_table(result_t)
+            et = store.edge_table(n.edge_type)
+            cond = n.condition or {}
+            # str cols are hashed int columns in this store: merge them
+            int_cols = list(cond.get("int_cols", [])) + \
+                list(cond.get("str_cols", []))
+            float_cols = list(cond.get("float_cols", []))
+            if n.base_strategy == "in_degree":
+                w = (et.out_degrees if n.kind == "in_neg"
+                     else et.in_degrees).astype(np.float64)
+            elif n.base_strategy == "node_weight":
+                w = nt.weights
+            else:
+                w = None
+            out["cond"][str(n.nid)] = ConditionTable.build(
+                nt, int_cols, float_cols, w)
+        return out
 
     # --- compile ------------------------------------------------------
     def build(self) -> Callable:
@@ -269,10 +294,51 @@ def _exec_neg(query: Query, tables, node: DagNode, parent: _Rec, recs, key):
     result_type = s_t if reverse else d_t
     flat, shape = _flat(parent.ids)
     dst_table = tables["nodes"].get(result_type)
-    ids = neg_ops.negative_sample(et, flat, node.count, key,
-                                  strategy=node.strategy,
-                                  dst_table=dst_table, reverse=reverse)
+    if node.strategy == "conditional":
+        ids = _exec_conditional_neg(query, tables, node, recs, flat, et,
+                                    dst_table, key)
+    else:
+        ids = neg_ops.negative_sample(et, flat, node.count, key,
+                                      strategy=node.strategy,
+                                      dst_table=dst_table, reverse=reverse)
     ids = ids.reshape(shape + (node.count,))
     val = lookup_nodes(tables["nodes"][result_type], ids,
                        type_name=result_type)
     return _Rec(ids=ids, node_type=result_type, value=val)
+
+
+def _exec_conditional_neg(query: Query, tables, node: DagNode, recs, flat,
+                          et, dst_table, key):
+    """.where(target, condition) negatives (conditional_negative_sampler.cc)."""
+    from graph_learn_tpu.ops.conditional import conditional_negative_sample
+    from graph_learn_tpu.ops.negative import _draw_cdf_ids, _draw_uniform_ids
+
+    cond = node.condition or {}
+    target = query.dag.get_node(node.filter_alias)
+    pos_dst, _ = _flat(recs[target.nid].ids)
+    ct = tables["cond"][str(node.nid)]
+    reverse = node.kind == "in_neg"
+    pool = et.unique_src if reverse else et.unique_dst
+    pool_cdf = (et.unique_src_outdeg_cdf if reverse
+                else et.unique_dst_indeg_cdf)
+
+    if node.base_strategy == "in_degree":
+        base_draw = lambda k_, shape: _draw_cdf_ids(pool, pool_cdf, k_, shape)
+    elif node.base_strategy == "node_weight":
+        all_ids = jnp.arange(dst_table.num_nodes, dtype=jnp.int32)
+        base_draw = lambda k_, shape: _draw_cdf_ids(
+            all_ids, dst_table.cum_weights, k_, shape)
+    else:
+        base_draw = lambda k_, shape: _draw_uniform_ids(pool, k_, shape)
+
+    pia = (dst_table.int_attrs[pos_dst]
+           if dst_table.int_attrs is not None else None)
+    pfa = (dst_table.float_attrs[pos_dst]
+           if dst_table.float_attrs is not None else None)
+    int_cols = list(cond.get("int_cols", [])) + list(cond.get("str_cols", []))
+    int_props = list(cond.get("int_props", [])) + list(cond.get("str_props", []))
+    return conditional_negative_sample(
+        et, ct, flat, pos_dst, pia, pfa, node.count, key,
+        int_cols, int_props,
+        list(cond.get("float_cols", [])), list(cond.get("float_props", [])),
+        base_draw)

@@ -68,6 +68,7 @@ class DagNode:
         self.alias_name: Optional[str] = None
         self.count = 0  # sample fanout
         self.strategy = "by_order" if kind in ("source_v", "source_e") else "random"
+        self.base_strategy = "random"  # unconditioned draw for .where()
         self.filter_alias: Optional[str] = None
         self.condition: Optional[dict] = None
         self.walk_len = 0
@@ -123,9 +124,15 @@ class DagNode:
         return self
 
     def where(self, target: str, condition: Optional[dict] = None) -> "DagNode":
-        """Conditional negative sampling (dag_node.py:233)."""
+        """Conditional negative sampling (dag_node.py:233).
+
+        The strategy set by ``.by()`` becomes the base (unconditioned)
+        draw; conditioned quotas come from condition's
+        int_cols/int_props/float_cols/float_props/str_cols/str_props.
+        """
         self.filter_alias = target if isinstance(target, str) else target.alias_name
         self.condition = dict(condition or {})
+        self.base_strategy = self.strategy
         self.strategy = "conditional"
         return self
 

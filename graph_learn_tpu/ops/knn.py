@@ -1,0 +1,175 @@
+"""KNN over node float attributes: Flat and IVF-Flat indexes.
+
+Parity with the reference KNN contrib
+(reference: graphlearn/src/contrib/knn/ — index.h:25-56 Train/Add/Search
+API, flat_index.cc, ivfflat_index.cc + GPU mirrors via faiss,
+python/operator/knn_operator.py, Graph.search graph.py:1054-1057;
+KnnMetric flag 0=L2 1=inner product, include/config.h).
+
+TPU redesign: brute-force (Flat) search IS a matmul + top-k — exactly what
+the MXU is for; faiss-style cell-probing (IVFFlat) keeps the matmul but
+restricts it to nprobe clusters.  No C++/faiss needed: the index is device
+arrays, queries are jitted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graph_learn_tpu.config import conf
+
+
+@dataclasses.dataclass
+class KnnOption:
+    """Parity: reference KnnOption (index type / k / metric)."""
+
+    k: int = 10
+    index_type: str = "flat"  # flat | ivfflat
+    nlist: int = 64  # IVF cells
+    nprobe: int = 8
+    metric: Optional[int] = None  # 0=L2, 1=inner product; None -> conf
+
+
+def _scores(queries: jax.Array, data: jax.Array, metric: int) -> jax.Array:
+    """[m, n] similarity (higher = closer)."""
+    ip = jnp.dot(queries, data.T, preferred_element_type=jnp.float32)
+    if metric == 1:  # inner product
+        return ip
+    qn = jnp.sum(queries * queries, axis=1, keepdims=True)
+    dn = jnp.sum(data * data, axis=1)[None, :]
+    return -(qn - 2.0 * ip + dn)  # negative squared L2
+
+
+class FlatIndex:
+    """Brute-force index (flat_index.cc / gpu_flat_index.cc)."""
+
+    def __init__(self, dim: int, metric: Optional[int] = None):
+        self.dim = dim
+        self.metric = conf.knn_metric if metric is None else metric
+        self._data: Optional[jax.Array] = None
+        self._ids: Optional[jax.Array] = None
+
+    def train(self, data: np.ndarray):  # flat needs no training
+        pass
+
+    def add(self, data: np.ndarray, ids: np.ndarray):
+        d = jnp.asarray(data, jnp.float32)
+        i = jnp.asarray(ids, jnp.int64)
+        if self._data is None:
+            self._data, self._ids = d, i
+        else:
+            self._data = jnp.concatenate([self._data, d])
+            self._ids = jnp.concatenate([self._ids, i])
+
+    @property
+    def ntotal(self):
+        return 0 if self._data is None else self._data.shape[0]
+
+    def search(self, queries: np.ndarray, k: int):
+        """-> (ids [m, k] int64 (-1 padded), distances [m, k])."""
+        q = jnp.asarray(queries, jnp.float32)
+        s = _scores(q, self._data, self.metric)
+        kk = min(k, self.ntotal)
+        top, idx = jax.lax.top_k(s, kk)
+        ids = self._ids[idx]
+        dist = -top if self.metric == 0 else top
+        if kk < k:
+            pad = k - kk
+            ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=-1)
+            dist = jnp.pad(dist, ((0, 0), (0, pad)),
+                           constant_values=jnp.inf if self.metric == 0 else -jnp.inf)
+        return np.asarray(ids), np.asarray(dist)
+
+
+class IVFFlatIndex:
+    """Cell-probed index (ivfflat_index.cc): k-means cells + nprobe search."""
+
+    def __init__(self, dim: int, nlist: int = 64, nprobe: int = 8,
+                 metric: Optional[int] = None, iters: int = 10, seed: int = 0):
+        self.dim = dim
+        self.nlist = nlist
+        self.nprobe = min(nprobe, nlist)
+        self.metric = conf.knn_metric if metric is None else metric
+        self.iters = iters
+        self.seed = seed
+        self.centroids: Optional[jax.Array] = None
+        self._data = None
+        self._ids = None
+        self._cell: Optional[jax.Array] = None  # cell id per vector
+
+    def train(self, data: np.ndarray):
+        """k-means (Lloyd) on device."""
+        x = jnp.asarray(data, jnp.float32)
+        n = x.shape[0]
+        key = jax.random.key(self.seed)
+        init = x[jax.random.choice(key, n, (self.nlist,), replace=n < self.nlist)]
+
+        def step(c, _):
+            d = _scores(x, c, 0)  # [n, nlist] -L2
+            assign = jnp.argmax(d, axis=1)
+            sums = jax.ops.segment_sum(x, assign, num_segments=self.nlist)
+            cnt = jax.ops.segment_sum(jnp.ones((n,)), assign,
+                                      num_segments=self.nlist)
+            newc = jnp.where(cnt[:, None] > 0,
+                             sums / jnp.maximum(cnt, 1.0)[:, None], c)
+            return newc, None
+
+        self.centroids, _ = jax.lax.scan(step, init, None, length=self.iters)
+
+    def add(self, data: np.ndarray, ids: np.ndarray):
+        assert self.centroids is not None, "train() first"
+        x = jnp.asarray(data, jnp.float32)
+        assign = jnp.argmax(_scores(x, self.centroids, 0), axis=1)
+        if self._data is None:
+            self._data = x
+            self._ids = jnp.asarray(ids, jnp.int64)
+            self._cell = assign
+        else:
+            self._data = jnp.concatenate([self._data, x])
+            self._ids = jnp.concatenate([self._ids, jnp.asarray(ids, jnp.int64)])
+            self._cell = jnp.concatenate([self._cell, assign])
+
+    @property
+    def ntotal(self):
+        return 0 if self._data is None else self._data.shape[0]
+
+    def search(self, queries: np.ndarray, k: int):
+        q = jnp.asarray(queries, jnp.float32)
+        cell_scores = _scores(q, self.centroids, self.metric)
+        _, probe = jax.lax.top_k(cell_scores, self.nprobe)  # [m, nprobe]
+        # mask: keep data points whose cell is probed for this query
+        in_probe = jnp.any(self._cell[None, :, None] ==
+                           probe[:, None, :], axis=-1)  # [m, n]
+        s = _scores(q, self._data, self.metric)
+        s = jnp.where(in_probe, s, -jnp.inf)
+        kk = min(k, self.ntotal)
+        top, idx = jax.lax.top_k(s, kk)
+        ids = jnp.where(jnp.isfinite(top), self._ids[idx], -1)
+        dist = -top if self.metric == 0 else top
+        if kk < k:
+            ids = jnp.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1)
+            dist = jnp.pad(dist, ((0, 0), (0, k - kk)),
+                           constant_values=jnp.inf if self.metric == 0 else -jnp.inf)
+        return np.asarray(ids), np.asarray(dist)
+
+
+def build_index(data: np.ndarray, ids: np.ndarray,
+                option: KnnOption):
+    """IndexFactory equivalent (index_factory.cc)."""
+    dim = data.shape[1]
+    if option.index_type == "flat":
+        index = FlatIndex(dim, metric=option.metric)
+    elif option.index_type == "ivfflat":
+        index = IVFFlatIndex(dim, nlist=option.nlist, nprobe=option.nprobe,
+                             metric=option.metric)
+    else:
+        raise ValueError("unknown index type %r" % option.index_type)
+    index.train(data)
+    index.add(data, ids)
+    return index

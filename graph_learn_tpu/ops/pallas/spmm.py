@@ -1,0 +1,124 @@
+"""Pallas segment-SpMM: masked neighbor aggregation over gathered rows.
+
+Computes ``out[i] = reduce_{c < deg[i]} feats[ids[i, c]]`` for the
+cap+degrees sparse representation (full-neighbor sampling, SparseNodes,
+embedding_agg) without materialising the [b, cap, D] gather intermediate
+that the XLA formulation (gather + masked reduce) writes to HBM.
+
+Per grid step (one seed row): the id row sits in SMEM; neighbor feature
+rows are DMA'd HBM->VMEM with double buffering and accumulated in a VMEM
+scratch.  HBM traffic is deg*D*4 bytes in + D*4 out versus XLA's
+cap*D*4 in + cap*D*4 out + cap*D*4 in + D*4 out for gather-then-reduce.
+
+Reference equivalent: server-side aggregators
+(core/operator/aggregator/*.cc) and the segment ops behind SubGraph convs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _spmm_kernel(ids_ref, deg_ref, feats_hbm, out_ref, acc, buf, sems,
+                 *, cap, agg):
+    deg = deg_ref[0]
+
+    def get_dma(slot, c):
+        idx = ids_ref[c]
+        return pltpu.make_async_copy(
+            feats_hbm.at[idx], buf.at[slot], sems.at[slot])
+
+    @pl.when(deg > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    if agg == "max":
+        acc[...] = jnp.full_like(acc[...], -jnp.inf)
+    elif agg == "min":
+        acc[...] = jnp.full_like(acc[...], jnp.inf)
+    else:
+        acc[...] = jnp.zeros_like(acc[...])
+
+    def body(c, _):
+        slot = c % 2
+
+        @pl.when(c + 1 < deg)
+        def _():
+            get_dma((c + 1) % 2, c + 1).start()
+
+        get_dma(slot, c).wait()
+        if agg in ("sum", "mean"):
+            acc[...] = acc[...] + buf[slot]
+        elif agg == "max":
+            acc[...] = jnp.maximum(acc[...], buf[slot])
+        else:
+            acc[...] = jnp.minimum(acc[...], buf[slot])
+        return 0
+
+    jax.lax.fori_loop(0, deg, body, 0)
+
+    res = acc[...]
+    if agg == "mean":
+        res = res / jnp.maximum(deg, 1).astype(res.dtype)
+    if agg in ("max", "min"):
+        res = jnp.where(jnp.isfinite(res), res, 0.0)
+    out_ref[...] = res.reshape(out_ref.shape)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("agg", "interpret"))
+def segment_spmm(feats: jax.Array, ids: jax.Array, degrees: jax.Array,
+                 agg: str = "sum", interpret: bool = False) -> jax.Array:
+    """feats [N, D], ids [b, cap] int32, degrees [b] -> [b, D]."""
+    b, cap = ids.shape
+    n, d = feats.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, cap), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # feats stay in HBM
+        ],
+        out_specs=pl.BlockSpec((1, d), lambda i: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((2, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    def kernel(ids_ref, deg_ref, feats_hbm, out_ref, acc, buf, sems):
+        _spmm_kernel(ids_ref.at[0], deg_ref, feats_hbm, out_ref, acc, buf,
+                     sems, cap=cap, agg=agg)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, d), feats.dtype),
+        interpret=interpret,
+    )(ids.astype(jnp.int32), degrees.astype(jnp.int32), feats)
+
+
+def segment_spmm_xla(feats, ids, degrees, agg="sum"):
+    """XLA reference formulation (gather + masked reduce)."""
+    b, cap = ids.shape
+    g = feats[jnp.clip(ids, 0, feats.shape[0] - 1)]
+    mask = (jnp.arange(cap, dtype=jnp.int32)[None, :]
+            < degrees[:, None])[..., None]
+    if agg in ("sum", "mean"):
+        s = jnp.sum(jnp.where(mask, g, 0.0), axis=1)
+        if agg == "mean":
+            s = s / jnp.maximum(degrees, 1)[:, None].astype(s.dtype)
+        return s
+    if agg == "max":
+        m = jnp.max(jnp.where(mask, g, -jnp.inf), axis=1)
+        return jnp.where(jnp.isfinite(m), m, 0.0)
+    m = jnp.min(jnp.where(mask, g, jnp.inf), axis=1)
+    return jnp.where(jnp.isfinite(m), m, 0.0)

@@ -1,0 +1,117 @@
+"""KNN indexes and conditional negative sampling."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import graph_learn_tpu as gl
+from graph_learn_tpu.ops.knn import FlatIndex, IVFFlatIndex, KnnOption
+
+
+def _clustered(n=200, d=16, c=4, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 10, (c, d)).astype(np.float32)
+    lab = rng.integers(0, c, n)
+    return (centers[lab] + rng.normal(0, 0.1, (n, d)).astype(np.float32),
+            lab)
+
+
+def test_flat_index_l2_exact():
+    data, _ = _clustered()
+    idx = FlatIndex(16, metric=0)
+    idx.add(data, np.arange(200) * 7)
+    q = data[:5] + 0.01
+    ids, dist = idx.search(q, 3)
+    # nearest neighbor of a perturbed point is itself
+    np.testing.assert_array_equal(ids[:, 0], np.arange(5) * 7)
+    assert np.all(np.diff(dist, axis=1) >= -1e-4)  # ascending distance
+
+
+def test_flat_index_inner_product():
+    data, _ = _clustered()
+    idx = FlatIndex(16, metric=1)
+    idx.add(data, np.arange(200))
+    ids, scores = idx.search(data[:3], 5)
+    exact = np.argmax(data[:3] @ data.T, axis=1)
+    np.testing.assert_array_equal(ids[:, 0], exact)
+    assert np.all(np.diff(scores, axis=1) <= 1e-4)  # descending score
+
+
+def test_flat_pads_when_k_exceeds_n():
+    idx = FlatIndex(4, metric=0)
+    idx.add(np.eye(4, dtype=np.float32), np.arange(4))
+    ids, dist = idx.search(np.eye(4, dtype=np.float32)[:1], 10)
+    assert ids.shape == (1, 10)
+    assert np.all(ids[0, 4:] == -1)
+
+
+def test_ivfflat_high_recall_on_clusters():
+    data, _ = _clustered(n=400)
+    flat = FlatIndex(16, metric=0)
+    flat.add(data, np.arange(400))
+    ivf = IVFFlatIndex(16, nlist=8, nprobe=3, metric=0)
+    ivf.train(data)
+    ivf.add(data, np.arange(400))
+    q = data[:20]
+    ids_f, _ = flat.search(q, 5)
+    ids_i, _ = ivf.search(q, 5)
+    recall = np.mean([len(set(a) & set(b)) / 5.0
+                      for a, b in zip(ids_f, ids_i)])
+    assert recall > 0.9, recall
+
+
+def test_graph_search_api(tmp_graph_dir):
+    g = gl.Graph()
+    g.node(tmp_graph_dir["node"], node_type="item",
+           decoder=gl.Decoder(weighted=True, labeled=True,
+                              attr_types=["float"] * 4))
+    g.edge(tmp_graph_dir["edge"], edge_type=("item", "item", "rel"),
+           decoder=gl.Decoder(weighted=True))
+    g.init()
+    t = g.store.node_table("item")
+    ids, dist = g.search("item", t.float_attrs[:3], KnnOption(k=2))
+    np.testing.assert_array_equal(ids[:, 0], t.raw_ids[:3])
+
+
+@pytest.fixture
+def cond_graph(tmp_path):
+    """Node table with a categorical int col; edges between same-category."""
+    rng = np.random.default_rng(5)
+    n = 60
+    cats = rng.integers(0, 3, n)
+    node = tmp_path / "nodes"
+    edge = tmp_path / "edges"
+    with open(node, "w") as f:
+        f.write("id:int64\tfeature:string\n")
+        for i in range(n):
+            f.write("%d\t%d:%0.2f\n" % (i, cats[i], rng.random()))
+    with open(edge, "w") as f:
+        f.write("src_id:int64\tdst_id:int64\n")
+        for i in range(n):
+            for j in range(3):
+                f.write("%d\t%d\n" % (i, (i + j + 1) % n))
+    g = gl.Graph()
+    g.node(str(node), node_type="item",
+           decoder=gl.Decoder(attr_types=[("int", 100), "float"],
+                              attr_dims=[4, None]))
+    g.edge(str(edge), edge_type=("item", "item", "rel"),
+           decoder=gl.Decoder())
+    return g.init(), cats
+
+
+def test_conditional_negative_matches_category(cond_graph):
+    g, cats = cond_graph
+    seed = g.E("rel").batch(16).alias("seed")
+    src = seed.outV().alias("src")
+    dst = seed.inV().alias("dst")
+    (src.outNeg("rel").sample(8).by("random")
+     .where("dst", {"int_cols": [0], "int_props": [0.75]})
+     .alias("neg"))
+    out = gl.Dataset(seed.values(), window=1).next()
+    neg = np.asarray(out["neg"].ids)
+    dstids = np.asarray(out["dst"].ids)
+    # 6 of 8 negatives (75%) must share the positive dst's category
+    for i in range(16):
+        share = (cats[neg[i]] == cats[dstids[i]]).sum()
+        assert share >= 6, (i, share, cats[neg[i]], cats[dstids[i]])
