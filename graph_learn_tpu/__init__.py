@@ -25,6 +25,8 @@ from graph_learn_tpu.errors import (GLError, InvalidArgumentError,
                                     UnimplementedError)
 from graph_learn_tpu.graph import Graph
 from graph_learn_tpu.gsl.dataset import Dataset
+from graph_learn_tpu import sampler_api as _sampler_api  # attaches g.*_sampler
+from graph_learn_tpu.ops.knn import KnnOption
 
 __version__ = "0.1.0"
 
