@@ -78,6 +78,9 @@ class DeviceCSR:
     # inverse-CDF tables (None unless the matching sampler is enabled):
     cum_weights: Optional[jax.Array] = None  # [E] f32, per-row normalised cumsum
     cum_in_degrees: Optional[jax.Array] = None  # [E] f32, per-row, ∝ dst in-degree
+    # edge timestamps in CSR order (ascending per row when timestamped),
+    # enabling exact before-t prefix sampling (temporal graphs)
+    nbr_ts: Optional[jax.Array] = None  # [E] int64
 
     @property
     def num_rows(self) -> int:
@@ -230,8 +233,11 @@ class NodeTable:
 def _build_csr(rows: np.ndarray, cols: np.ndarray, num_rows: int,
                sort_key: Optional[np.ndarray], sort_desc: bool,
                weights: Optional[np.ndarray],
-               dst_in_degrees: Optional[np.ndarray]) -> Tuple[np.ndarray, ...]:
-    """Build CSR arrays. Returns (row_offsets, nbr, eid, nbr_s, eid_s, cumw, cumind)."""
+               dst_in_degrees: Optional[np.ndarray],
+               timestamps: Optional[np.ndarray] = None) -> Tuple[np.ndarray, ...]:
+    """Build CSR arrays.
+
+    Returns (row_offsets, nbr, eid, nbr_s, eid_s, cumw, cumind, nbr_ts)."""
     e = rows.size
     eid = np.arange(e, dtype=np.int64)
     # primary sort by row; stable so insertion order is kept within rows
@@ -273,7 +279,10 @@ def _build_csr(rows: np.ndarray, cols: np.ndarray, num_rows: int,
     cumind = None
     if dst_in_degrees is not None and e:
         cumind = _segment_cdf(dst_in_degrees[nbr].astype(np.float64))
-    return row_offsets, nbr, eids, nbr_s, eid_s, cumw, cumind
+    nbr_ts = None
+    if timestamps is not None and e:
+        nbr_ts = timestamps[order]
+    return row_offsets, nbr, eids, nbr_s, eid_s, cumw, cumind, nbr_ts
 
 
 class EdgeTable:
@@ -297,6 +306,12 @@ class EdgeTable:
         self.labels = None if labels is None else np.asarray(labels, np.int32)
         self.timestamps = (None if timestamps is None
                            else np.asarray(timestamps, np.int64))
+        # device arrays are int32 (x64 disabled); rebase timestamps so
+        # epoch-style values fit — ``ts_base`` restores absolute time
+        self.ts_base = 0
+        if self.timestamps is not None and self.timestamps.size:
+            self.ts_base = int(self.timestamps.min())
+            self.timestamps = self.timestamps - self.ts_base
         self.int_attrs = None if int_attrs is None else np.asarray(int_attrs, np.int32)
         self.float_attrs = (None if float_attrs is None
                             else np.asarray(float_attrs, np.float32))
@@ -327,21 +342,25 @@ class EdgeTable:
         if self._device is None:
             src32 = self.src.astype(np.int32)
             dst32 = self.dst.astype(np.int32)
-            ro, nbr, eids, nbr_s, eid_s, cumw, cumind = _build_csr(
+            ro, nbr, eids, nbr_s, eid_s, cumw, cumind, nts = _build_csr(
                 self.src, dst32, self.num_src_nodes,
-                self._sort_key, self._sort_desc, self.weights, self.in_degrees)
+                self._sort_key, self._sort_desc, self.weights,
+                self.in_degrees, self.timestamps)
             out = DeviceCSR(
                 row_offsets=_put(ro), nbr_ids=_put(nbr), nbr_edge_ids=_put(eids),
                 nbr_ids_sorted=_put(nbr_s), nbr_edge_ids_sorted=_put(eid_s),
-                cum_weights=_opt_put(cumw), cum_in_degrees=_opt_put(cumind))
-            ro_i, nbr_i, eids_i, nbr_si, eid_si, cumw_i, cumind_i = _build_csr(
+                cum_weights=_opt_put(cumw), cum_in_degrees=_opt_put(cumind),
+                nbr_ts=_opt_put(nts))
+            ro_i, nbr_i, eids_i, nbr_si, eid_si, cumw_i, cumind_i, nts_i = _build_csr(
                 self.dst, src32, self.num_dst_nodes,
-                self._sort_key, self._sort_desc, self.weights, self.out_degrees)
+                self._sort_key, self._sort_desc, self.weights,
+                self.out_degrees, self.timestamps)
             inc = DeviceCSR(
                 row_offsets=_put(ro_i), nbr_ids=_put(nbr_i),
                 nbr_edge_ids=_put(eids_i), nbr_ids_sorted=_put(nbr_si),
                 nbr_edge_ids_sorted=_put(eid_si),
-                cum_weights=_opt_put(cumw_i), cum_in_degrees=_opt_put(cumind_i))
+                cum_weights=_opt_put(cumw_i), cum_in_degrees=_opt_put(cumind_i),
+                nbr_ts=_opt_put(nts_i))
             def _pool(ids32, degs):
                 uniq = np.unique(ids32)
                 d = degs[uniq].astype(np.float64)

@@ -26,6 +26,7 @@ from graph_learn_tpu.gsl.dag import Dag, DagNode
 from graph_learn_tpu.ops import negative as neg_ops
 from graph_learn_tpu.ops import sampling as samp_ops
 from graph_learn_tpu.ops import subgraph as sg_ops
+from graph_learn_tpu.ops import temporal as temporal_ops
 from graph_learn_tpu.ops import walk as walk_ops
 from graph_learn_tpu.ops.lookup import (edge_payload, lookup_nodes,
                                         lookup_sparse_nodes)
@@ -34,15 +35,16 @@ from graph_learn_tpu.ops.lookup import (edge_payload, lookup_nodes,
 class _Rec:
     """Per-node execution record inside the plan."""
 
-    __slots__ = ("ids", "edge_ids", "degrees", "node_type", "value")
+    __slots__ = ("ids", "edge_ids", "degrees", "node_type", "value", "ts")
 
     def __init__(self, ids=None, edge_ids=None, degrees=None, node_type=None,
-                 value=None):
+                 value=None, ts=None):
         self.ids = ids
         self.edge_ids = edge_ids
         self.degrees = degrees
         self.node_type = node_type
         self.value = value
+        self.ts = ts  # per-element timestamps (temporal traversal bound)
 
 
 class Query:
@@ -179,7 +181,8 @@ def _exec_node(query: Query, tables, node: DagNode, recs, seeds, key) -> _Rec:
             float_attrs=pay["float_attrs"],
             multival_attrs=pay["multival_attrs"],
             multival_lens=pay["multival_lens"], type_name=node.edge_type)
-        rec = _Rec(ids=src_ids, edge_ids=eidx, node_type=s_t, value=val)
+        rec = _Rec(ids=src_ids, edge_ids=eidx, node_type=s_t, value=val,
+                   ts=pay["timestamps"])
         return rec
 
     parent = recs[node.parent.nid]
@@ -187,7 +190,8 @@ def _exec_node(query: Query, tables, node: DagNode, recs, seeds, key) -> _Rec:
     if kind in ("endpoint_src", "endpoint_dst"):
         ev: Edges = parent.value
         nv = ev.src_nodes if kind == "endpoint_src" else ev.dst_nodes
-        return _Rec(ids=nv.ids, node_type=nv.type_name, value=nv)
+        return _Rec(ids=nv.ids, node_type=nv.type_name, value=nv,
+                    ts=parent.ts)
 
     if kind in ("out_v", "in_v", "out_e", "in_e"):
         return _exec_hop(query, tables, node, parent, recs, key)
@@ -244,15 +248,40 @@ def _exec_hop(query: Query, tables, node: DagNode, parent: _Rec, recs, key):
                 ".filter() currently supported with the 'random' strategy")
         flt = samp_ops.SampleFilter(exclude_dst=tgt_flat)
 
+    # temporal traversal: when the seed path carries timestamps and this
+    # edge type is timestamped, neighbors are restricted to edges strictly
+    # before the seed's time (reference auto-injected ts filters,
+    # gsl/dag_node.py:357-364) — exact prefix sampling, ops/temporal.py.
+    t_upper = None
+    if parent.ts is not None and csr.nbr_ts is not None:
+        t_upper, _ = _flat(parent.ts)
+
     if strategy == "full":
         cap = k if k > 0 else conf.default_full_nbr_num
-        ids, eids, degs = samp_ops.full_sample(csr, flat, cap)
+        if t_upper is not None:
+            ids, eids, degs = temporal_ops.temporal_full_sample(
+                csr, flat, cap, t_upper)
+        else:
+            ids, eids, degs = samp_ops.full_sample(csr, flat, cap)
         nt = tables["nodes"][result_type]
         val = lookup_sparse_nodes(nt, ids, degs, type_name=result_type)
+        new_ts = (et.timestamps[jnp.maximum(eids, 0)]
+                  if t_upper is not None else None)
         return _Rec(ids=ids.reshape(shape + (cap,)), edge_ids=eids,
-                    degrees=degs, node_type=result_type, value=val)
+                    degrees=degs, node_type=result_type, value=val,
+                    ts=new_ts)
 
-    if strategy == "random":
+    if t_upper is not None:
+        if strategy in ("random", "edge_weight", "in_degree",
+                        "random_without_replacement"):
+            ids, eids = temporal_ops.temporal_uniform_sample(
+                csr, flat, k, key, t_upper)
+        elif strategy == "topk":
+            ids, eids = temporal_ops.temporal_topk_sample(csr, flat, k,
+                                                          t_upper)
+        else:
+            raise InvalidArgumentError("unknown strategy %r" % strategy)
+    elif strategy == "random":
         ids, eids = samp_ops.uniform_sample(csr, flat, k, key, flt=flt)
     elif strategy == "topk":
         ids, eids = samp_ops.topk_sample(csr, flat, k)
@@ -266,10 +295,13 @@ def _exec_hop(query: Query, tables, node: DagNode, parent: _Rec, recs, key):
     ids = ids.reshape(shape + (k,))
     eids = eids.reshape(shape + (k,))
     nt = tables["nodes"][result_type]
+    hop_ts = (et.timestamps[jnp.maximum(eids, 0)]
+              if t_upper is not None else None)
 
     if node.kind in ("out_v", "in_v"):
         val = lookup_nodes(nt, ids, type_name=result_type)
-        return _Rec(ids=ids, edge_ids=eids, node_type=result_type, value=val)
+        return _Rec(ids=ids, edge_ids=eids, node_type=result_type, value=val,
+                    ts=hop_ts)
 
     # edge hop: Edges with replicated src view
     src_ids = jnp.broadcast_to(parent.ids[..., None], ids.shape)

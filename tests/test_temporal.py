@@ -1,0 +1,123 @@
+"""Temporal graph: ts-sorted adjacency, before-t sampling, GSL threading."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import graph_learn_tpu as gl
+from graph_learn_tpu.core.schema import Decoder
+from graph_learn_tpu.core.store import EdgeTable
+from graph_learn_tpu.ops.temporal import (temporal_full_sample,
+                                          temporal_topk_sample,
+                                          temporal_uniform_sample)
+
+
+def _temporal_table(n=10):
+    """node i -> (i+j)%n at time 10*i + j, j in 1..4."""
+    src, dst, ts = [], [], []
+    for i in range(n):
+        for j in range(1, 5):
+            src.append(i)
+            dst.append((i + j) % n)
+            ts.append(10 * i + j)
+    return EdgeTable("e", "v", "v", Decoder(timestamped=True),
+                     src=np.array(src), dst=np.array(dst),
+                     num_src_nodes=n, num_dst_nodes=n,
+                     timestamps=np.array(ts, np.int64))
+
+
+def test_adjacency_sorted_by_ts():
+    dev = _temporal_table().device()
+    ro = np.asarray(dev.out.row_offsets)
+    ts = np.asarray(dev.out.nbr_ts)
+    for i in range(len(ro) - 1):
+        seg = ts[ro[i]:ro[i + 1]]
+        assert np.all(np.diff(seg) >= 0)
+
+
+def test_temporal_uniform_respects_bound():
+    dev = _temporal_table().device()
+    seeds = jnp.array([3, 3, 3, 3], jnp.int32)
+    # node 3 edges at ts 31,32,33,34; bound 33 -> only 31,32 admissible
+    t = jnp.full((4,), 33, jnp.int64)
+    ids, eids = temporal_uniform_sample(dev.out, seeds, 8,
+                                        jax.random.key(0), t)
+    et = _temporal_table()
+    got_ts = np.asarray(et.timestamps)[np.asarray(eids).ravel()]
+    assert np.all(got_ts < 33)
+
+
+def test_temporal_zero_admissible():
+    dev = _temporal_table().device()
+    seeds = jnp.array([3], jnp.int32)
+    t = jnp.array([5], jnp.int64)  # all of node 3's edges are later
+    ids, eids = temporal_uniform_sample(dev.out, seeds, 4,
+                                        jax.random.key(0), t)
+    assert np.all(np.asarray(eids) == -1)
+
+
+def test_temporal_topk_most_recent():
+    dev = _temporal_table().device()
+    seeds = jnp.array([5], jnp.int32)
+    t = jnp.array([54], jnp.int64)  # admissible ts: 51,52,53
+    ids, eids = temporal_topk_sample(dev.out, seeds, 2, t)
+    et = _temporal_table()
+    got_ts = np.asarray(et.timestamps)[np.asarray(eids)[0]]
+    np.testing.assert_array_equal(got_ts, [53, 52])  # most recent first
+
+
+def test_temporal_full():
+    dev = _temporal_table().device()
+    ids, eids, degs = temporal_full_sample(
+        dev.out, jnp.array([5], jnp.int32), 10, jnp.array([53], jnp.int64))
+    assert int(degs[0]) == 2  # ts 51, 52
+
+
+@pytest.fixture
+def temporal_graph(tmp_path):
+    n = 12
+    node = tmp_path / "nodes"
+    edge = tmp_path / "edges"
+    with open(node, "w") as f:
+        f.write("id:int64\tfeature:string\n")
+        for i in range(n):
+            f.write("%d\t%0.2f:%0.2f\n" % (i, i * 0.1, i * 0.2))
+    with open(edge, "w") as f:
+        f.write("src_id:int64\tdst_id:int64\ttimestamp:int64\n")
+        for i in range(n):
+            for j in range(1, 4):
+                f.write("%d\t%d\t%d\n" % (i, (i + j) % n, 100 * i + j))
+    g = gl.Graph()
+    g.node(str(node), node_type="v", decoder=gl.Decoder(attr_types=["float"] * 2))
+    g.edge(str(edge), edge_type=("v", "v", "ev"),
+           decoder=gl.Decoder(timestamped=True))
+    return g.init()
+
+
+def test_gsl_temporal_hops_bounded(temporal_graph):
+    g = temporal_graph
+    seed = g.E("ev").batch(6).alias("seed")
+    src = seed.outV().alias("src")
+    src.outV("ev").sample(4).by("random").alias("h1")
+    out = gl.Dataset(seed.values(), window=1).next()
+    seed_ts = np.asarray(out["seed"].timestamps)
+    et = g.store.edge_table("ev")
+    h1_eids = np.asarray(out["h1"].ids)  # node ids; need edge ts via value
+    # verify via the hop's timestamps carried on the rec: re-run with full
+    h1 = out["h1"]
+    # sampled neighbors of src must come from edges with ts < seed edge ts
+    # (we check via the store: all of src's edges with ts < bound)
+    srcids = np.asarray(out["src"].ids)
+    dev = et.device()
+    ro = np.asarray(dev.out.row_offsets)
+    nts = np.asarray(dev.out.nbr_ts)
+    nbr = np.asarray(dev.out.nbr_ids)
+    for i in range(6):
+        s = srcids[i]
+        admissible = set(nbr[ro[s]:ro[s + 1]][nts[ro[s]:ro[s + 1]] < seed_ts[i]])
+        got = set(np.asarray(h1.ids)[i].tolist())
+        if not admissible:
+            assert got == {0}  # default fill
+        else:
+            assert got.issubset(admissible), (i, got, admissible)
