@@ -38,20 +38,21 @@ def test_adjacency_sorted_by_ts():
 
 def test_temporal_uniform_respects_bound():
     dev = _temporal_table().device()
+    et = _temporal_table()
     seeds = jnp.array([3, 3, 3, 3], jnp.int32)
-    # node 3 edges at ts 31,32,33,34; bound 33 -> only 31,32 admissible
-    t = jnp.full((4,), 33, jnp.int64)
+    # node 3 edges at raw ts 31,32,33,34; bound raw-33 -> only 31,32.
+    # bounds are in the store's rebased time domain (ts - ts_base).
+    t = jnp.full((4,), 33 - et.ts_base, jnp.int64)
     ids, eids = temporal_uniform_sample(dev.out, seeds, 8,
                                         jax.random.key(0), t)
-    et = _temporal_table()
     got_ts = np.asarray(et.timestamps)[np.asarray(eids).ravel()]
-    assert np.all(got_ts < 33)
+    assert np.all(got_ts + et.ts_base < 33)
 
 
 def test_temporal_zero_admissible():
     dev = _temporal_table().device()
     seeds = jnp.array([3], jnp.int32)
-    t = jnp.array([5], jnp.int64)  # all of node 3's edges are later
+    t = jnp.array([5 - _temporal_table().ts_base], jnp.int64)  # all later
     ids, eids = temporal_uniform_sample(dev.out, seeds, 4,
                                         jax.random.key(0), t)
     assert np.all(np.asarray(eids) == -1)
@@ -59,18 +60,20 @@ def test_temporal_zero_admissible():
 
 def test_temporal_topk_most_recent():
     dev = _temporal_table().device()
-    seeds = jnp.array([5], jnp.int32)
-    t = jnp.array([54], jnp.int64)  # admissible ts: 51,52,53
-    ids, eids = temporal_topk_sample(dev.out, seeds, 2, t)
     et = _temporal_table()
-    got_ts = np.asarray(et.timestamps)[np.asarray(eids)[0]]
+    seeds = jnp.array([5], jnp.int32)
+    t = jnp.array([54 - et.ts_base], jnp.int64)  # admissible raw: 51,52,53
+    ids, eids = temporal_topk_sample(dev.out, seeds, 2, t)
+    got_ts = np.asarray(et.timestamps)[np.asarray(eids)[0]] + et.ts_base
     np.testing.assert_array_equal(got_ts, [53, 52])  # most recent first
 
 
 def test_temporal_full():
     dev = _temporal_table().device()
+    et = _temporal_table()
     ids, eids, degs = temporal_full_sample(
-        dev.out, jnp.array([5], jnp.int32), 10, jnp.array([53], jnp.int64))
+        dev.out, jnp.array([5], jnp.int32), 10,
+        jnp.array([53 - et.ts_base], jnp.int64))
     assert int(degs[0]) == 2  # ts 51, 52
 
 
