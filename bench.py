@@ -109,43 +109,51 @@ def run_bench(cfg):
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
 
-    @jax.jit
-    def step(params, opt_state, seeds, key):
-        ks, km = jax.random.split(key)
-        batch = _execute(q, tables, seeds, ks)
-
-        def lf(p):
-            ego = EgoGraph.from_query_result(batch, "src", hop_aliases)
-            logits = model.apply(p, ego, training=True, rngs={"dropout": km})
-            return supervised_softmax_loss(logits, batch["src"].labels)
-
-        loss, grads = jax.value_and_grad(lf)(params)
-        updates, opt_state2 = optimizer.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state2, loss
-
     n = cfg["n_nodes"]
-    rng = np.random.default_rng(1)
-    key = jax.random.key(2)
 
-    def one(i):
-        nonlocal params, opt_state, key
-        seeds = jnp.asarray(rng.integers(0, n, b), jnp.int32)
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, seeds, sub)
-        return loss
+    # scanned multi-step: K train steps per dispatch with device-side seed
+    # generation — no host in the loop at all (measured +33% over
+    # step-per-dispatch through the TPU tunnel)
+    K = cfg.get("scan_steps", 10)
+
+    @jax.jit
+    def multi_step(params, opt_state, key):
+        def one(carry, k):
+            p, o = carry
+            ks, km, ksd = jax.random.split(k, 3)
+            seeds = jax.random.randint(ksd, (b,), 0, n)
+            batch = _execute(q, tables, seeds, ks)
+
+            def lf(pp):
+                ego = EgoGraph.from_query_result(batch, "src", hop_aliases)
+                logits = model.apply(pp, ego, training=True,
+                                     rngs={"dropout": km})
+                return supervised_softmax_loss(logits, batch["src"].labels)
+
+            loss, grads = jax.value_and_grad(lf)(p)
+            updates, o2 = optimizer.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o2), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            one, (params, opt_state), jax.random.split(key, K))
+        return params, opt_state, losses[-1]
 
     t0 = time.perf_counter()
     for i in range(cfg["warmup"]):
-        one(i).block_until_ready()
+        params, opt_state, loss = multi_step(params, opt_state,
+                                             jax.random.key(100 + i))
+        loss.block_until_ready()
     _log("warmup (compile) %.1fs" % (time.perf_counter() - t0))
     t0 = time.perf_counter()
-    for i in range(cfg["steps"]):
-        loss = one(i)
+    rounds = max(cfg["steps"] // K, 1)
+    for i in range(rounds):
+        params, opt_state, loss = multi_step(params, opt_state,
+                                             jax.random.key(200 + i))
     loss.block_until_ready()
     dt = time.perf_counter() - t0
 
     edges_per_step = b * (k1 + k1 * k2)
-    return edges_per_step * cfg["steps"] / dt
+    return edges_per_step * K * rounds / dt
 
 
 def cpu_baseline(cfg):

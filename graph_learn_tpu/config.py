@@ -50,7 +50,11 @@ class _Config:
     feature_dtype: str = "float32"
     compute_dtype: str = "float32"
     # Use Pallas kernels where available (else XLA segment ops).
-    use_pallas: bool = True
+    # Default False: measured on TPU v5e, XLA's vectorised gather (40-50
+    # GB/s) beats the per-row-DMA Pallas gather (~10 GB/s, DMA-issue
+    # bound at ~50ns/row).  The kernels remain for the round-2
+    # locality-bucketed design.
+    use_pallas: bool = False
     # --- distributed ---------------------------------------------------
     # number of graph shards (mesh axis 'graph'); 1 = single device store
     graph_shards: int = 1
