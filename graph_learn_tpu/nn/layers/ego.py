@@ -84,7 +84,8 @@ class EgoGATConv(nn.Module):
             nh = n_layer(neighbor).reshape((-1, expand, self.out_dim))
             xt = jnp.broadcast_to(xh[:, None, :], nh.shape)
             logits = attn(jnp.concatenate([xt, nh], axis=-1))  # [b, e, 1]
-            coef = jax.nn.softmax(nn.leaky_relu(logits), axis=1)
+            # TF's leaky_relu default alpha is 0.2 (flax defaults to 0.01)
+            coef = jax.nn.softmax(nn.leaky_relu(logits, 0.2), axis=1)
             if self.attn_dropout and training:
                 coef = nn.Dropout(self.attn_dropout, deterministic=False)(coef)
             outs.append(jnp.sum(coef * nh, axis=1))
@@ -109,8 +110,11 @@ class EgoGINConv(nn.Module):
                            name="trans_nbrs")(agg)
             return nn.Dense(self.out_dim, use_bias=self.use_bias,
                             name="output")(x + agg)
+        # NOTE reference parity: for equal dims the reference applies NO
+        # (1+eps) factor (ego_gin_conv.py:92-99 only scales x inside the
+        # trans branch) — matched here, activations allclose.
         return nn.Dense(self.out_dim, use_bias=self.use_bias,
-                        name="output")((1.0 + self.eps) * x + agg)
+                        name="output")(x + agg)
 
 
 class EgoRGCNConv(nn.Module):

@@ -138,7 +138,8 @@ class GATConv(nn.Module):
                            (1, H, D))
         src_e = jnp.sum(h * a_src, axis=-1)  # [n, H]
         dst_e = jnp.sum(h * a_dst, axis=-1)
-        e = nn.leaky_relu(src_e[ei[0]] + dst_e[ei[1]])  # [E, H]
+        # TF leaky_relu default alpha 0.2 (reference gat_conv.py:102)
+        e = nn.leaky_relu(src_e[ei[0]] + dst_e[ei[1]], 0.2)  # [E, H]
         m = None if mask is None else mask[:, None] & jnp.ones_like(e, bool)
         alpha = segment_softmax(e, ei[0], n, mask=m)
         if self.attn_dropout and training:
