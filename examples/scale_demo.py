@@ -1,0 +1,108 @@
+"""Scale demonstration: ogbn-products-size graph training on ONE chip.
+
+2.45M nodes / 62M directed edges (ogbn-products has 2.45M nodes / 61.9M
+undirected edges), 100 float features, EgoSAGE fanout [15, 10] fused
+sample+train — the configuration the reference serves from a fleet of
+CPU graph servers, HBM-resident here under conf.storage_profile=minimal.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from graph_learn_tpu.utils.platform import ensure_platform
+
+ensure_platform()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+import graph_learn_tpu as gl
+from graph_learn_tpu.config import conf
+from graph_learn_tpu.core.schema import Decoder
+from graph_learn_tpu.core.store import EdgeTable, NodeTable
+from graph_learn_tpu.graph import Graph
+from graph_learn_tpu.gsl.compile import _execute
+from graph_learn_tpu.nn.data import EgoGraph
+from graph_learn_tpu.nn.loss import supervised_softmax_loss
+from graph_learn_tpu.nn.models.ego_gnn import EgoGraphSAGE
+
+
+def main():
+    conf.storage_profile = "minimal"
+    n, e, d, classes = 2_450_000, 62_000_000, 100, 47
+    b, k1, k2 = 1024, 15, 10
+    rng = np.random.default_rng(0)
+    print("building %dM-edge graph on host..." % (e // 1_000_000))
+    t0 = time.time()
+    node_dec = Decoder(labeled=True, attr_types=["float"] * d)
+    g = Graph()
+    nt = NodeTable("item", node_dec, np.arange(n, dtype=np.int64),
+                   float_attrs=rng.standard_normal((n, d)).astype(np.float32),
+                   labels=rng.integers(0, classes, n).astype(np.int32))
+    g.store.add_node_table(nt)
+    et = EdgeTable("rel", "item", "item", Decoder(),
+                   src=rng.integers(0, n, e), dst=rng.integers(0, n, e),
+                   num_src_nodes=n, num_dst_nodes=n)
+    g.store.add_edge_table(et)
+    g._node_decoders["item"] = node_dec
+    g._initialized = True
+    print("host build %.1fs" % (time.time() - t0))
+
+    q = (g.V("item").batch(b).alias("src")
+         .outV("rel").sample(k1).by("random").alias("hop1")
+         .outV("rel").sample(k2).by("random").alias("hop2").values())
+    t0 = time.time()
+    tables = q.device_tables()
+    jax.block_until_ready(tables)
+    hbm = sum(x.nbytes for x in jax.tree.leaves(tables))
+    print("tables on device %.1fs (%.2f GB HBM)" % (time.time() - t0,
+                                                    hbm / 1e9))
+
+    model = EgoGraphSAGE([d, 256, classes], node_dec, agg_type="gcn")
+    ds = gl.Dataset(q, window=1)
+    b0 = ds.next()
+    ego0 = EgoGraph.from_query_result(b0, "src", ["hop1", "hop2"])
+    params = model.init(jax.random.key(0), ego0, training=False)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        ks, km, ksd = jax.random.split(key, 3)
+        seeds = jax.random.randint(ksd, (b,), 0, n)
+        batch = _execute(q, tables, seeds, ks)
+
+        def lf(p):
+            ego = EgoGraph.from_query_result(batch, "src", ["hop1", "hop2"])
+            logits = model.apply(p, ego, training=True, rngs={"dropout": km})
+            return supervised_softmax_loss(logits, batch["src"].labels)
+
+        loss, grads = jax.value_and_grad(lf)(params)
+        upd, o2 = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), o2, loss
+
+    k = jax.random.key(1)
+    t0 = time.time()
+    k, sub = jax.random.split(k)
+    params, opt_state, loss = step(params, opt_state, sub)
+    loss.block_until_ready()
+    print("compile+first step %.1fs" % (time.time() - t0))
+    steps = 30
+    t0 = time.time()
+    for i in range(steps):
+        k, sub = jax.random.split(k)
+        params, opt_state, loss = step(params, opt_state, sub)
+    loss.block_until_ready()
+    dt = time.time() - t0
+    eps = b * (k1 + k1 * k2) * steps / dt
+    print("scale demo: %.1f ms/step, %.1fM edges/s on %dM-edge graph"
+          % (1000 * dt / steps, eps / 1e6, e // 1_000_000))
+
+
+if __name__ == "__main__":
+    main()

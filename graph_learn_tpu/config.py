@@ -65,6 +65,12 @@ class _Config:
     # reference: config.h StorageMode (2 = compressed/CSR).  We are always
     # CSR; kept for API compat.
     storage_mode: int = 2
+    # device table profile: "full" uploads every auxiliary table
+    # (id-sorted copies for membership bisection, weight/in-degree CDFs,
+    # reverse CSR, negative pools); "minimal" uploads only the forward CSR
+    # + payload (~12B/edge vs ~56B/edge) for HBM-bound graphs — samplers
+    # that need a missing table raise.
+    storage_profile: str = "full"
 
 
 conf = _Config()

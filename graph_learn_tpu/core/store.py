@@ -72,9 +72,10 @@ class DeviceCSR:
     row_offsets: jax.Array  # [Nrow+1] int32
     nbr_ids: jax.Array  # [E] int32 dense neighbor indices (build order)
     nbr_edge_ids: jax.Array  # [E] int32 edge row indices (build order)
-    # id-sorted ordering of the same rows, for bisection membership:
-    nbr_ids_sorted: jax.Array  # [E] int32, ascending within each row
-    nbr_edge_ids_sorted: jax.Array  # [E] int32
+    # id-sorted ordering of the same rows, for bisection membership
+    # (None under the "minimal" storage profile):
+    nbr_ids_sorted: Optional[jax.Array] = None  # [E] int32, asc per row
+    nbr_edge_ids_sorted: Optional[jax.Array] = None  # [E] int32
     # inverse-CDF tables (None unless the matching sampler is enabled):
     cum_weights: Optional[jax.Array] = None  # [E] f32, per-row normalised cumsum
     cum_in_degrees: Optional[jax.Array] = None  # [E] f32, per-row, ∝ dst in-degree
@@ -99,9 +100,9 @@ class DeviceEdgeTable:
     """Per-edge-type topology (both directions) + edge payload."""
 
     out: DeviceCSR  # src -> dst
-    inc: DeviceCSR  # dst -> src (incoming)
     src: jax.Array  # [E] int32, edge-row order
     dst: jax.Array  # [E] int32
+    inc: Optional[DeviceCSR] = None  # dst -> src (None in minimal profile)
     int_attrs: Optional[jax.Array] = None
     float_attrs: Optional[jax.Array] = None
     multival_attrs: Optional[jax.Array] = None
@@ -340,6 +341,7 @@ class EdgeTable:
 
     def device(self) -> DeviceEdgeTable:
         if self._device is None:
+            minimal = conf.storage_profile == "minimal"
             src32 = self.src.astype(np.int32)
             dst32 = self.dst.astype(np.int32)
             ro, nbr, eids, nbr_s, eid_s, cumw, cumind, nts = _build_csr(
@@ -348,19 +350,26 @@ class EdgeTable:
                 self.in_degrees, self.timestamps)
             out = DeviceCSR(
                 row_offsets=_put(ro), nbr_ids=_put(nbr), nbr_edge_ids=_put(eids),
-                nbr_ids_sorted=_put(nbr_s), nbr_edge_ids_sorted=_put(eid_s),
-                cum_weights=_opt_put(cumw), cum_in_degrees=_opt_put(cumind),
+                nbr_ids_sorted=None if minimal else _put(nbr_s),
+                nbr_edge_ids_sorted=None if minimal else _put(eid_s),
+                cum_weights=None if minimal else _opt_put(cumw),
+                cum_in_degrees=None if minimal else _opt_put(cumind),
                 nbr_ts=_opt_put(nts))
-            ro_i, nbr_i, eids_i, nbr_si, eid_si, cumw_i, cumind_i, nts_i = _build_csr(
-                self.dst, src32, self.num_dst_nodes,
-                self._sort_key, self._sort_desc, self.weights,
-                self.out_degrees, self.timestamps)
-            inc = DeviceCSR(
-                row_offsets=_put(ro_i), nbr_ids=_put(nbr_i),
-                nbr_edge_ids=_put(eids_i), nbr_ids_sorted=_put(nbr_si),
-                nbr_edge_ids_sorted=_put(eid_si),
-                cum_weights=_opt_put(cumw_i), cum_in_degrees=_opt_put(cumind_i),
-                nbr_ts=_opt_put(nts_i))
+            inc = None
+            if not minimal:
+                ro_i, nbr_i, eids_i, nbr_si, eid_si, cumw_i, cumind_i, \
+                    nts_i = _build_csr(
+                        self.dst, src32, self.num_dst_nodes,
+                        self._sort_key, self._sort_desc, self.weights,
+                        self.out_degrees, self.timestamps)
+                inc = DeviceCSR(
+                    row_offsets=_put(ro_i), nbr_ids=_put(nbr_i),
+                    nbr_edge_ids=_put(eids_i), nbr_ids_sorted=_put(nbr_si),
+                    nbr_edge_ids_sorted=_put(eid_si),
+                    cum_weights=_opt_put(cumw_i),
+                    cum_in_degrees=_opt_put(cumind_i),
+                    nbr_ts=_opt_put(nts_i))
+
             def _pool(ids32, degs):
                 uniq = np.unique(ids32)
                 d = degs[uniq].astype(np.float64)
@@ -368,8 +377,11 @@ class EdgeTable:
                 cdf = np.cumsum(d / (tot if tot > 0 else 1.0)).astype(np.float32)
                 return _put(uniq.astype(np.int32)), _put(cdf)
 
-            u_dst, u_dst_cdf = _pool(dst32, self.in_degrees)
-            u_src, u_src_cdf = _pool(src32, self.out_degrees)
+            if minimal:
+                u_dst = u_dst_cdf = u_src = u_src_cdf = None
+            else:
+                u_dst, u_dst_cdf = _pool(dst32, self.in_degrees)
+                u_src, u_src_cdf = _pool(src32, self.out_degrees)
             self._device = DeviceEdgeTable(
                 out=out, inc=inc, src=_put(src32), dst=_put(dst32),
                 unique_dst=u_dst, unique_dst_indeg_cdf=u_dst_cdf,

@@ -159,6 +159,104 @@ class IVFFlatIndex:
         return np.asarray(ids), np.asarray(dist)
 
 
+class IVFPQIndex:
+    """IVF + product quantisation (ivfpq_index.cc / gpu_ivfpq_index.cc).
+
+    Residuals vs the coarse centroid are PQ-encoded (m subspaces x ksub
+    codes); search uses asymmetric distance computation: per-query LUTs
+    [m, ksub] then a code-indexed sum — the LUT build is a batched matmul
+    on the MXU, the ADC sum a gather+reduce.
+    """
+
+    def __init__(self, dim: int, nlist: int = 64, nprobe: int = 8,
+                 m: int = 4, ksub: int = 64, metric: Optional[int] = None,
+                 iters: int = 10, seed: int = 0):
+        assert dim % m == 0, "dim must divide into m subspaces"
+        self.dim, self.m, self.ksub = dim, m, ksub
+        self.dsub = dim // m
+        self.metric = conf.knn_metric if metric is None else metric
+        self.coarse = IVFFlatIndex(dim, nlist=nlist, nprobe=nprobe,
+                                   metric=0, iters=iters, seed=seed)
+        self.codebooks: Optional[jax.Array] = None  # [m, ksub, dsub]
+        self.codes: Optional[jax.Array] = None  # [n, m] uint8-ish int32
+        self._ids = None
+        self._cell = None
+        self.seed = seed
+        self.iters = iters
+
+    def train(self, data: np.ndarray):
+        x = jnp.asarray(data, jnp.float32)
+        self.coarse.train(x)
+        assign = jnp.argmax(_scores(x, self.coarse.centroids, 0), axis=1)
+        resid = x - self.coarse.centroids[assign]
+        books = []
+        for s in range(self.m):
+            sub = resid[:, s * self.dsub:(s + 1) * self.dsub]
+            key = jax.random.key(self.seed + 1 + s)
+            init = sub[jax.random.choice(key, sub.shape[0], (self.ksub,),
+                                         replace=sub.shape[0] < self.ksub)]
+
+            def step(c, _):
+                a = jnp.argmax(_scores(sub, c, 0), axis=1)
+                sums = jax.ops.segment_sum(sub, a, num_segments=self.ksub)
+                cnt = jax.ops.segment_sum(jnp.ones((sub.shape[0],)), a,
+                                          num_segments=self.ksub)
+                return jnp.where(cnt[:, None] > 0,
+                                 sums / jnp.maximum(cnt, 1.0)[:, None], c), None
+
+            book, _ = jax.lax.scan(step, init, None, length=self.iters)
+            books.append(book)
+        self.codebooks = jnp.stack(books)  # [m, ksub, dsub]
+
+    def add(self, data: np.ndarray, ids: np.ndarray):
+        x = jnp.asarray(data, jnp.float32)
+        assign = jnp.argmax(_scores(x, self.coarse.centroids, 0), axis=1)
+        resid = x - self.coarse.centroids[assign]
+        codes = []
+        for s in range(self.m):
+            sub = resid[:, s * self.dsub:(s + 1) * self.dsub]
+            codes.append(jnp.argmax(_scores(sub, self.codebooks[s], 0),
+                                    axis=1))
+        codes = jnp.stack(codes, axis=1).astype(jnp.int32)  # [n, m]
+        ids = jnp.asarray(ids, jnp.int64)
+        if self.codes is None:
+            self.codes, self._ids, self._cell = codes, ids, assign
+        else:
+            self.codes = jnp.concatenate([self.codes, codes])
+            self._ids = jnp.concatenate([self._ids, ids])
+            self._cell = jnp.concatenate([self._cell, assign])
+
+    @property
+    def ntotal(self):
+        return 0 if self.codes is None else self.codes.shape[0]
+
+    def search(self, queries: np.ndarray, k: int):
+        q = jnp.asarray(queries, jnp.float32)
+        nq = q.shape[0]
+        cs = _scores(q, self.coarse.centroids, 0)  # [nq, nlist] -L2
+        _, probe = jax.lax.top_k(cs, self.coarse.nprobe)
+        # ADC with per-probed-cell residual LUTs: residual of q vs EACH
+        # probed centroid; a point is scored with the LUT of its own cell.
+        P = self.coarse.nprobe
+        resid = q[:, None, :] - self.coarse.centroids[probe]  # [nq, P, dim]
+        rs = resid.reshape(nq, P, self.m, self.dsub)
+        diff = rs[:, :, :, None, :] - self.codebooks[None, None]
+        lut = -jnp.sum(diff * diff, axis=-1)  # [nq, P, m, ksub]
+        oh = jax.nn.one_hot(self.codes, self.ksub)  # [n, m, ksub]
+        scores_p = jnp.einsum("qpms,nms->qpn", lut, oh)  # [nq, P, n]
+        match = (self._cell[None, None, :] == probe[:, :, None])  # [nq, P, n]
+        s = jnp.max(jnp.where(match, scores_p, -jnp.inf), axis=1)  # [nq, n]
+        kk = min(k, self.ntotal)
+        top, idx = jax.lax.top_k(s, kk)
+        ids = jnp.where(jnp.isfinite(top), self._ids[idx], -1)
+        dist = -top
+        if kk < k:
+            ids = jnp.pad(ids, ((0, 0), (0, k - kk)), constant_values=-1)
+            dist = jnp.pad(dist, ((0, 0), (0, k - kk)),
+                           constant_values=jnp.inf)
+        return np.asarray(ids), np.asarray(dist)
+
+
 def build_index(data: np.ndarray, ids: np.ndarray,
                 option: KnnOption):
     """IndexFactory equivalent (index_factory.cc)."""
@@ -168,6 +266,9 @@ def build_index(data: np.ndarray, ids: np.ndarray,
     elif option.index_type == "ivfflat":
         index = IVFFlatIndex(dim, nlist=option.nlist, nprobe=option.nprobe,
                              metric=option.metric)
+    elif option.index_type == "ivfpq":
+        index = IVFPQIndex(dim, nlist=option.nlist, nprobe=option.nprobe,
+                           metric=option.metric)
     else:
         raise ValueError("unknown index type %r" % option.index_type)
     index.train(data)

@@ -115,3 +115,43 @@ def test_conditional_negative_matches_category(cond_graph):
     for i in range(16):
         share = (cats[neg[i]] == cats[dstids[i]]).sum()
         assert share >= 6, (i, share, cats[neg[i]], cats[dstids[i]])
+
+
+def test_ivfpq_recall():
+    from graph_learn_tpu.ops.knn import IVFPQIndex
+    data, _ = _clustered(n=400, d=16)
+    flat = FlatIndex(16, metric=0)
+    flat.add(data, np.arange(400))
+    pq = IVFPQIndex(16, nlist=8, nprobe=4, m=4, ksub=32, metric=0)
+    pq.train(data)
+    pq.add(data, np.arange(400))
+    q = data[:20]
+    ids_f, _ = flat.search(q, 5)
+    ids_p, _ = pq.search(q, 5)
+    recall = np.mean([len(set(a) & set(b)) / 5.0
+                      for a, b in zip(ids_f, ids_p)])
+    assert recall > 0.6, recall  # quantised: looser bar than IVFFlat
+
+
+def test_minimal_profile_blocks_unsupported(tmp_graph_dir):
+    import graph_learn_tpu as gl2
+    from graph_learn_tpu.config import conf as c2
+    old = c2.storage_profile
+    c2.storage_profile = "minimal"
+    try:
+        g = gl2.Graph()
+        g.node(tmp_graph_dir["node"], node_type="item",
+               decoder=gl2.Decoder(weighted=True, labeled=True,
+                                   attr_types=["float"] * 4))
+        g.edge(tmp_graph_dir["edge"], edge_type=("item", "item", "rel"),
+               decoder=gl2.Decoder(weighted=True))
+        g.init()
+        dev = g.store.edge_table("rel").device()
+        assert dev.inc is None and dev.unique_dst is None
+        # forward sampling still works
+        q = (g.V("item").batch(4).alias("src")
+             .outV("rel").sample(3).by("random").alias("h1").values())
+        out = gl2.Dataset(q, window=1).next()
+        assert out["h1"].ids.shape == (4, 3)
+    finally:
+        c2.storage_profile = old
