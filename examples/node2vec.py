@@ -60,9 +60,9 @@ def main(argv=None):
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(params, opt_state, seeds, key):
+    def step(params, opt_state, tables_, seeds, key):
         ks, kn = jax.random.split(key)
-        out = _execute(q, tables, seeds, ks)
+        out = _execute(q, tables_, seeds, ks)
         walks = out["walks"].ids
 
         def lf(p):
@@ -93,7 +93,7 @@ def main(argv=None):
             except gl.OutOfRangeError:
                 break
             k, sub = jax.random.split(k)
-            params, opt_state, loss = step(params, opt_state,
+            params, opt_state, loss = step(params, opt_state, tables,
                                            jnp.asarray(pos, jnp.int32), sub)
             losses.append(float(loss))
         print("epoch %d loss %.4f" % (epoch, float(np.mean(losses))))

@@ -72,10 +72,10 @@ def main():
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(params, opt_state, key):
+    def step(params, opt_state, tables_, key):
         ks, km, ksd = jax.random.split(key, 3)
         seeds = jax.random.randint(ksd, (b,), 0, n)
-        batch = _execute(q, tables, seeds, ks)
+        batch = _execute(q, tables_, seeds, ks)
 
         def lf(p):
             ego = EgoGraph.from_query_result(batch, "src", ["hop1", "hop2"])
@@ -89,14 +89,14 @@ def main():
     k = jax.random.key(1)
     t0 = time.time()
     k, sub = jax.random.split(k)
-    params, opt_state, loss = step(params, opt_state, sub)
+    params, opt_state, loss = step(params, opt_state, tables, sub)
     loss.block_until_ready()
     print("compile+first step %.1fs" % (time.time() - t0))
     steps = 30
     t0 = time.time()
     for i in range(steps):
         k, sub = jax.random.split(k)
-        params, opt_state, loss = step(params, opt_state, sub)
+        params, opt_state, loss = step(params, opt_state, tables, sub)
     loss.block_until_ready()
     dt = time.time() - t0
     eps = b * (k1 + k1 * k2) * steps / dt

@@ -217,10 +217,16 @@ class NodeTable:
                     w = np.ones_like(w)
                     total = w.sum()
                 cum = np.cumsum(w / total).astype(np.float32)
+            fa = self.float_attrs
+            if fa is not None and conf.feature_dtype == "bfloat16":
+                # halves the HBM traffic of every feature gather — the
+                # dominant cost of the fused train step
+                import ml_dtypes
+                fa = fa.astype(ml_dtypes.bfloat16)
             self._device = DeviceNodeTable(
                 raw_ids=_put(self.raw_ids),
                 int_attrs=_opt_put(self.int_attrs),
-                float_attrs=_opt_put(self.float_attrs),
+                float_attrs=_opt_put(fa),
                 multival_attrs=_opt_put(self.multival_attrs),
                 multival_lens=_opt_put(self.multival_lens),
                 weights=_opt_put(self.weights),

@@ -81,6 +81,10 @@ class FeatureEncoder(nn.Module):
         if not feats:
             raise ValueError("node type %r has no encodable attributes"
                              % getattr(nodes, "type_name", "?"))
+        from graph_learn_tpu.config import conf as _conf
+        compute = jnp.dtype(_conf.compute_dtype)
+        feats = [f.astype(compute) if f.dtype != compute else f
+                 for f in feats]
         out = jnp.concatenate(feats, axis=-1) if len(feats) > 1 else feats[0]
         if self.output_dim is not None:
             out = nn.Dense(self.output_dim, name="proj")(out)

@@ -57,8 +57,11 @@ class LocalTrainer:
         opt_state = optimizer.init(params)
         key = jax.random.key(self.seed)
 
+        # tables passed as an ARGUMENT: closure-captured device arrays
+        # become jit constants and get serialised into (remote) compile
+        # requests — gigabytes for big graphs
         @jax.jit
-        def step(params, opt_state, seeds, key):
+        def step(params, opt_state, tables, seeds, key):
             ks, km = jax.random.split(key)
             batch = _execute(query, tables, seeds, ks)
 
@@ -89,7 +92,8 @@ class LocalTrainer:
                 seeds = idx[pos] if idx is not None else pos
                 key, sub = jax.random.split(key)
                 params, opt_state, loss = step(
-                    params, opt_state, jnp.asarray(seeds, jnp.int32), sub)
+                    params, opt_state, tables, jnp.asarray(seeds, jnp.int32),
+                    sub)
                 losses.append(loss)
                 it += 1
             mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
@@ -111,7 +115,7 @@ class LocalTrainer:
         key = jax.random.key(self.seed + 1)
 
         @jax.jit
-        def ev(params, seeds, key):
+        def ev(params, tables, seeds, key):
             batch = _execute(query, tables, seeds, key)
             return metric_fn(model, params, batch)
 
@@ -124,7 +128,8 @@ class LocalTrainer:
                 break
             seeds = idx[pos] if idx is not None else pos
             key, sub = jax.random.split(key)
-            vals = np.asarray(ev(params, jnp.asarray(seeds, jnp.int32), sub))
+            vals = np.asarray(ev(params, tables,
+                                 jnp.asarray(seeds, jnp.int32), sub))
             total += float(vals[:n_valid].sum())
             count += n_valid
         return total / max(count, 1)
