@@ -320,6 +320,17 @@ def _exec_hop(query: Query, tables, node: DagNode, parent: _Rec, recs, key):
 
 
 def _exec_neg(query: Query, tables, node: DagNode, parent: _Rec, recs, key):
+    if node.edge_type is None:
+        # Neg(node_type): pool = the node set itself (dag_node.py:509-515)
+        base = _base_type(query, node.node_type)
+        nt = tables["nodes"][base]
+        flat, shape = _flat(parent.ids)
+        ids = neg_ops.negative_sample_from_nodes(
+            nt, flat.shape[0], node.count, key, strategy=node.strategy)
+        ids = ids.reshape(shape + (node.count,))
+        val = lookup_nodes(nt, ids, type_name=base)
+        return _Rec(ids=ids, node_type=base, value=val)
+
     et = tables["edges"][node.edge_type]
     s_t, d_t = _node_types_of_edge(query, node.edge_type)
     reverse = node.kind == "in_neg"

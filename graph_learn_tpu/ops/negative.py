@@ -58,6 +58,29 @@ def _reject_neighbors(et: DeviceEdgeTable, seeds: jax.Array,
     return segment_member(csr.nbr_ids_sorted, lo, hi, cands)
 
 
+def negative_sample_from_nodes(nt: DeviceNodeTable, b: int, k: int,
+                               key: jax.Array,
+                               strategy: str = "random") -> jax.Array:
+    """``Neg(node_type)``: negatives drawn from a node SET, no topology.
+
+    Reference parity: NegativeSampler with ``node_from=NodeFrom.NODE``
+    (gsl/dag_node.py:509-515) — the candidate pool is the node storage of
+    the given type (utils/storage_wrapper.h:27-46), so there is no
+    neighbor structure to reject against: ``random`` is uniform over the
+    node set, ``node_weight`` draws ∝ node weight.
+    """
+    all_ids = jnp.arange(nt.num_nodes, dtype=jnp.int32)
+    if strategy in ("random", "in_degree", "soft_in_degree"):
+        # in_degree degrades to uniform on a bare node set (no topology)
+        return _draw_uniform_ids(all_ids, key, (b, k))
+    if strategy == "node_weight":
+        if nt.cum_weights is None:
+            raise ValueError("node_weight negative sampling needs a weighted "
+                             "node table")
+        return _draw_cdf_ids(all_ids, nt.cum_weights, key, (b, k))
+    raise ValueError("unknown node-set negative strategy %r" % strategy)
+
+
 def negative_sample(et: DeviceEdgeTable, seeds: jax.Array, k: int,
                     key: jax.Array, strategy: str = "random",
                     dst_table: Optional[DeviceNodeTable] = None,

@@ -157,11 +157,25 @@ class NegativeSampler(_Base):
     def __init__(self, graph, object_type: str, expand_factor: int,
                  strategy: str = "random", seed=None):
         super().__init__(graph, seed)
-        self.et = graph.store.edge_table(object_type)
+        # object_type may be an edge type (topology-aware negatives) or a
+        # node type (pool = the node set, NodeFrom.NODE parity)
+        self.nt = None
+        if object_type in graph.store.edges:
+            self.et = graph.store.edge_table(object_type)
+        else:
+            self.et = None
+            self.nt = object_type
         self.k = expand_factor
         self.strategy = strategy
 
     def get(self, ids: np.ndarray) -> Nodes:
+        if self.nt is not None:
+            tab = self.graph.store.node_table(self.nt)
+            dev = tab.device()
+            neg = neg_ops.negative_sample_from_nodes(
+                dev, len(ids), self.k, self._next_key(),
+                strategy=self.strategy)
+            return lookup_nodes(dev, neg, type_name=self.nt)
         s_t, d_t = self.et.src_type, self.et.dst_type
         src_tab = self.graph.store.node_table(s_t)
         idx = jnp.asarray(src_tab.index.lookup(np.asarray(ids, np.int64)),

@@ -185,3 +185,32 @@ def test_shuffle_traverse_covers_epoch(g, tmp_graph_dir):
     except OutOfRangeError:
         pass
     assert seen == set(range(n))
+
+
+def test_neg_node_set(g, tmp_graph_dir):
+    """Neg(node_type): pool is the node set, no topology
+    (reference gsl/dag_node.py:509-515, NodeFrom.NODE)."""
+    n = tmp_graph_dir["n"]
+    q = (g.V("item").batch(6).alias("src")
+         .Neg("item").sample(4).by("node_weight").alias("neg")
+         .values())
+    out = gl.Dataset(q, window=1).next()
+    neg = out["neg"]
+    assert neg.ids.shape == (6, 4)
+    assert set(np.asarray(neg.ids).ravel()).issubset(set(range(n)))
+    # node_weight draw: weight of node i is i*0.1 -> node 0 (weight 0)
+    # should essentially never appear; heavier nodes dominate
+    ids = np.asarray(neg.ids).ravel()
+    assert ids.mean() > n / 2.5
+
+    q2 = (g.V("item").batch(6).alias("src")
+          .Neg("item").sample(3).by("random").alias("neg")
+          .values())
+    out2 = gl.Dataset(q2, window=1).next()
+    assert out2["neg"].ids.shape == (6, 3)
+
+
+def test_neg_node_set_sampler_api(g, tmp_graph_dir):
+    s = g.negative_sampler("item", expand_factor=5, strategy="node_weight")
+    res = s.get(np.array([0, 10, 20], np.int64))
+    assert res.ids.shape == (3, 5)
