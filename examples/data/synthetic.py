@@ -117,3 +117,57 @@ def u2i(out_dir: str, n_users: int = 500, n_items: int = 300,
                         f.write("%d\t%d\t1.0\n" % (i, j))
     return {"n_users": n_users, "n_items": n_items,
             "num_edges": len(srcs), "feat_dim": feat_dim}
+
+
+def temporal_u2i(out_dir: str, n_users: int = 300, n_items: int = 200,
+                 n_clusters: int = 4, events: int = 6000,
+                 feat_dim: int = 8, edge_feat_dim: int = 4, seed: int = 0):
+    """Temporal bipartite event stream (JODIE-style, reference ego_tgat).
+
+    Emits user/item tables with float features and interaction/train/val/
+    test event tables (``src dst ts edge_attrs``) split chronologically.
+    """
+    rng = np.random.default_rng(seed)
+    os.makedirs(out_dir, exist_ok=True)
+    cu = rng.integers(0, n_clusters, n_users)
+    ci = rng.integers(0, n_clusters, n_items)
+    centers = rng.normal(0, 2.0, (n_clusters, feat_dim))
+    u_feat = centers[cu] + rng.normal(0, 0.6, (n_users, feat_dim))
+    i_feat = centers[ci] + rng.normal(0, 0.6, (n_items, feat_dim))
+
+    def write_nodes(name, count, feats):
+        with open(os.path.join(out_dir, name), "w") as f:
+            f.write("id:int64\tfeature:string\n")
+            for i in range(count):
+                f.write("%d\t%s\n" %
+                        (i, ":".join("%.5f" % x for x in feats[i])))
+
+    write_nodes("user_table", n_users, u_feat)
+    write_nodes("item_table", n_items, i_feat)
+
+    item_by_cluster = [np.where(ci == c)[0] for c in range(n_clusters)]
+    rows = []
+    for t in range(events):
+        u = int(rng.integers(0, n_users))
+        pool = item_by_cluster[cu[u]]
+        i = int(pool[rng.integers(0, pool.size)]) if pool.size else \
+            int(rng.integers(0, n_items))
+        ef = rng.normal(0, 1, edge_feat_dim)
+        rows.append((u, i, 1600000000 + t * 60, ef))
+
+    def write_events(name, subset):
+        with open(os.path.join(out_dir, name), "w") as f:
+            f.write("src_id:int64\tdst_id:int64\ttimestamp:int64"
+                    "\tfeature:string\n")
+            for u, i, ts, ef in subset:
+                f.write("%d\t%d\t%d\t%s\n" %
+                        (u, i, ts, ":".join("%.5f" % x for x in ef)))
+
+    n_tr = int(events * 0.7)
+    n_va = int(events * 0.85)
+    write_events("interaction_table", rows)
+    write_events("train_table", rows[:n_tr])
+    write_events("val_table", rows[n_tr:n_va])
+    write_events("test_table", rows[n_va:])
+    return {"n_users": n_users, "n_items": n_items, "events": events,
+            "feat_dim": feat_dim, "edge_feat_dim": edge_feat_dim}

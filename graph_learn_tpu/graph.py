@@ -130,6 +130,19 @@ class Graph:
             grouped.setdefault(es.edge_type, []).append(es)
         for e_t, sources in grouped.items():
             self._load_edge_type(e_t, sources)
+        # 4. unify timestamp bases across edge tables: each table rebases
+        # to its own min at build; cross-type temporal traversal (e.g. TGAT
+        # events from one table, neighbor hops over another) compares
+        # timestamps across tables, so shift everything to the global base.
+        bases = [t.ts_base for t in self.store.edges.values()
+                 if t.timestamps is not None and t.timestamps.size]
+        if bases:
+            g0 = min(bases)
+            for t in self.store.edges.values():
+                if (t.timestamps is not None and t.timestamps.size
+                        and t.ts_base != g0):
+                    t.timestamps = t.timestamps + (t.ts_base - g0)
+                    t.ts_base = g0
         self._initialized = True
         return self
 

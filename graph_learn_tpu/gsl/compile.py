@@ -316,7 +316,9 @@ def _exec_hop(query: Query, tables, node: DagNode, parent: _Rec, recs, key):
         timestamps=pay["timestamps"], int_attrs=pay["int_attrs"],
         float_attrs=pay["float_attrs"], multival_attrs=pay["multival_attrs"],
         multival_lens=pay["multival_lens"], type_name=node.edge_type)
-    return _Rec(ids=ids, edge_ids=eids, node_type=result_type, value=val)
+    return _Rec(ids=ids, edge_ids=eids, node_type=result_type, value=val,
+                ts=pay["timestamps"] if pay["timestamps"] is not None
+                else hop_ts)
 
 
 def _exec_neg(query: Query, tables, node: DagNode, parent: _Rec, recs, key):

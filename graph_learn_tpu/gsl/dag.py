@@ -148,8 +148,11 @@ class DagNode:
     # --- hops (dag_node.py:458-532) -----------------------------------
     def _hop(self, kind: str, edge_type: Optional[str]):
         if edge_type is None:
-            if self.kind == "source_e" and kind in ("out_v", "in_v"):
-                # E(...).outV()/inV() = src/dst endpoint view
+            if (self.kind in ("source_e", "out_e", "in_e")
+                    and kind in ("out_v", "in_v")):
+                # E(...).outV()/inV() and outE(...).inV() etc. =
+                # src/dst endpoint view of the edges
+                # (reference dag_node.py:462-492 TraverseEdgeDagNode.inV)
                 return EndpointNode(self.dag, kind, self)
             raise InvalidArgumentError("edge_type required")
         return DagNode(self.dag, kind, self, edge_type=edge_type)

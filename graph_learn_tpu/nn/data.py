@@ -47,3 +47,72 @@ class EgoGraph:
         hops = [result[a] for a in hop_aliases]
         nbr_nums = tuple(h.ids.shape[-1] for h in hops)
         return cls(src=src, hops=list(hops), nbr_nums=nbr_nums)
+
+
+@struct.dataclass
+class TemporalGraph:
+    """EgoGraph over a temporal event stream: hops carry edge time spans.
+
+    Parity with the reference TemporalGraph
+    (reference: graphlearn/python/nn/tf/data/temporalgraph.py:29-143 and
+    dataset.get_temporalgraph, nn/tf/data/dataset.py:152-199): src nodes
+    from the event endpoints, per-hop neighbor nodes + the edges leading to
+    them, and time SPANS ``event_ts - edge_ts`` (so the store's ts rebasing
+    cancels).  ``src_t`` is zeros (the src node is at the event time).
+    """
+
+    src: Nodes
+    src_t: jax.Array                      # [b] float32 spans (zeros)
+    nbr_nodes: List[Nodes] = struct.field(default_factory=list)
+    nbr_t: List[jax.Array] = struct.field(default_factory=list)
+    nbr_edges: List = struct.field(default_factory=list)  # Edges values
+    nbr_nums: Sequence[int] = struct.field(pytree_node=False, default=())
+
+    @property
+    def batch_size(self) -> int:
+        return self.src.ids.shape[0]
+
+    def hop_node(self, i: int) -> Nodes:
+        return self.nbr_nodes[i]
+
+    def hop_edge(self, i: int):
+        return self.nbr_edges[i]
+
+    def hop_t(self, i: int) -> jax.Array:
+        return self.nbr_t[i]
+
+    @classmethod
+    def from_query_result(cls, result: dict, src_alias: str,
+                          edge_aliases: Sequence[str],
+                          node_aliases: Sequence[str],
+                          event_alias: str) -> "TemporalGraph":
+        """Build from a GSL result of an ``g.E(temporal)`` event query.
+
+        ``edge_aliases[i]`` is hop i's ``outE(...)`` alias (Edges with
+        timestamps), ``node_aliases[i]`` its ``.inV()`` alias.
+        """
+        assert len(edge_aliases) == len(node_aliases)
+        event = result[event_alias]
+        event_ts = event.timestamps
+        if event_ts is None:
+            raise ValueError(
+                "TemporalGraph needs a timestamped event root (g.E on a "
+                "temporal edge type)")
+        src = result[src_alias]
+        src_t = jnp.zeros(src.ids.shape[0], jnp.float32)
+        nbr_nodes, nbr_t, nbr_edges = [], [], []
+        for ea, na in zip(edge_aliases, node_aliases):
+            ev = result[ea]
+            nbr_edges.append(ev)
+            nbr_nodes.append(result[na])
+            # span relative to the EVENT time, broadcast over the hop tree
+            # (dataset.py:185-187)
+            ts = ev.timestamps
+            b = event_ts.shape[0]
+            shape = (b,) + (1,) * (ts.ndim - 1)
+            span = event_ts.reshape(shape).astype(jnp.float32) - \
+                ts.astype(jnp.float32)
+            nbr_t.append(span)
+        nbr_nums = tuple(e.ids.shape[-1] for e in nbr_nodes)
+        return cls(src=src, src_t=src_t, nbr_nodes=nbr_nodes, nbr_t=nbr_t,
+                   nbr_edges=nbr_edges, nbr_nums=nbr_nums)

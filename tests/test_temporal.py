@@ -124,3 +124,100 @@ def test_gsl_temporal_hops_bounded(temporal_graph):
             assert got == {0}  # default fill
         else:
             assert got.issubset(admissible), (i, got, admissible)
+
+
+@pytest.fixture
+def temporal_bipartite(tmp_path):
+    """Small timestamped bipartite event graph written as TSVs."""
+    d = str(tmp_path)
+    with open(d + "/u", "w") as f:
+        f.write("id:int64\tfeature:string\n")
+        for i in range(8):
+            f.write("%d\t%s\n" % (i, ":".join(["%.1f" % (i + k) for k in range(3)])))
+    with open(d + "/i", "w") as f:
+        f.write("id:int64\tfeature:string\n")
+        for i in range(6):
+            f.write("%d\t%s\n" % (i, ":".join(["%.1f" % (i * 2 + k) for k in range(3)])))
+    # interactions: user u hits item (u+j)%6 at t=5000+10*u+j
+    with open(d + "/inter", "w") as f:
+        f.write("src_id:int64\tdst_id:int64\ttimestamp:int64\tfeature:string\n")
+        for u in range(8):
+            for j in range(3):
+                f.write("%d\t%d\t%d\t0.5:0.5\n" % (u, (u + j) % 6,
+                                                   5000 + 10 * u + j))
+    # events (later time base -> different per-table min ts)
+    with open(d + "/events", "w") as f:
+        f.write("src_id:int64\tdst_id:int64\ttimestamp:int64\tfeature:string\n")
+        for u in range(8):
+            f.write("%d\t%d\t%d\t1.0:1.0\n" % (u, u % 6, 6000 + u))
+    edec = gl.Decoder(attr_types=["float"] * 2, timestamped=True)
+    g = (gl.Graph()
+         .node(d + "/u", "u", gl.Decoder(attr_types=["float"] * 3))
+         .node(d + "/i", "i", gl.Decoder(attr_types=["float"] * 3))
+         .edge(d + "/inter", ("u", "i", "inter"), edec, directed=False)
+         .edge(d + "/events", ("u", "i", "ev"), edec)).init()
+    return g
+
+
+def test_global_ts_base_unified(temporal_bipartite):
+    g = temporal_bipartite
+    inter = g.store.edge_table("inter")
+    ev = g.store.edge_table("ev")
+    assert inter.ts_base == ev.ts_base == 5000
+    # events keep their absolute offset relative to the global base
+    assert int(ev.timestamps.min()) == 1000
+
+
+def test_edge_hop_endpoint_and_temporal_threading(temporal_bipartite):
+    """outE(...).inV() endpoint view + event-time-bounded neighbor hops."""
+    g = temporal_bipartite
+    q = (g.E("ev").batch(8).alias("event")
+         .outV().alias("src")
+         .outE("inter").sample(2).by("topk").alias("e1")
+         .inV().alias("n1")
+         .values())
+    out = gl.Dataset(q, window=1).next()
+    e1, n1 = out["e1"], out["n1"]
+    assert e1.timestamps.shape == (8, 2)
+    assert n1.ids.shape == (8, 2)
+    # endpoint ids == the edges' dst view
+    np.testing.assert_array_equal(np.asarray(n1.ids),
+                                  np.asarray(e1.dst_nodes.ids))
+    # every sampled interaction happens strictly BEFORE the event
+    ev_tab = g.store.edge_table("ev")
+    ev_ts = np.asarray(out["event"].timestamps)  # rebased, global base
+    got = np.asarray(e1.timestamps)
+    eids = np.asarray(e1.edge_ids)
+    valid = eids >= 0
+    assert np.all(got[valid] < ev_ts[:, None].repeat(2, 1)[valid])
+
+
+def test_temporal_graph_struct(temporal_bipartite):
+    from graph_learn_tpu.nn.data import TemporalGraph
+    g = temporal_bipartite
+    q = (g.E("ev").batch(8).alias("event")
+         .outV().alias("src")
+         .outE("inter").sample(2).by("topk").alias("src_nbr_1")
+         .inV().alias("src_nbr_node_1")
+         .values())
+    out = gl.Dataset(q, window=1).next()
+    tg = TemporalGraph.from_query_result(
+        out, "src", ["src_nbr_1"], ["src_nbr_node_1"], "event")
+    assert tg.src_t.shape == (8,)
+    assert np.all(np.asarray(tg.src_t) == 0)
+    assert tg.nbr_t[0].shape == (8, 2)
+    # spans are positive (events strictly after their neighbors)
+    eids = np.asarray(out["src_nbr_1"].edge_ids)
+    assert np.all(np.asarray(tg.nbr_t[0])[eids >= 0] > 0)
+    assert tg.nbr_nums == (2,)
+
+
+def test_time_encoder_shape():
+    from graph_learn_tpu.nn.models.tgat import TimeEncoder
+    te = TimeEncoder(time_dim=6)
+    t = jnp.arange(12, dtype=jnp.float32).reshape(3, 4)
+    p = te.init(jax.random.key(0), t)
+    out = te.apply(p, t)
+    assert out.shape == (12, 6)
+    # t=0 rows encode to cos(phase) -- all in [-1, 1]
+    assert np.all(np.abs(np.asarray(out)) <= 1.0 + 1e-6)
