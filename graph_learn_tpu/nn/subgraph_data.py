@@ -70,6 +70,76 @@ class BatchGraph:
                    graph_ids=graph_ids, num_samples=B, node_cap=N_cap,
                    nodes=nodes, dist_to_src=d2s, dist_to_dst=d2d)
 
+    @classmethod
+    def from_edge_star(cls, src, dst, src_nbrs, dst_nbrs) -> "BatchGraph":
+        """Per-edge enclosing star subgraphs, batched shape-static.
+
+        Parity with the reference EdgeInducer
+        (reference: graphlearn/examples/tf/sage/edge_inducer.py:29-107):
+        each sample's node list is [src, dst, src_nbrs..., dst_nbrs...],
+        edges connect src<->each src_nbr and dst<->each dst_nbr (both
+        directions, gen_edge_index :97-107).  ``src``/``dst`` are Nodes
+        [b]; ``src_nbrs``/``dst_nbrs`` are SparseNodes [b, cap] from a
+        ``full`` (or fixed-fanout) hop.  Sample i's node j lives at global
+        slot i*N_cap+j, so the result is a standard BatchGraph.
+        """
+        b = src.ids.shape[0]
+        ks = src_nbrs.ids.shape[-1]
+        kd = dst_nbrs.ids.shape[-1]
+        n_cap = 2 + ks + kd
+        dst_ids = dst.ids.reshape(b, -1)[:, 0]  # neg dst may be [b, 1]
+        node_ids = jnp.concatenate(
+            [src.ids[:, None], dst_ids[:, None],
+             src_nbrs.ids.reshape(b, ks), dst_nbrs.ids.reshape(b, kd)],
+            axis=1)  # [b, n_cap]
+        sm = src_nbrs.mask().reshape(b, ks)
+        dm = dst_nbrs.mask().reshape(b, kd)
+        node_mask = jnp.concatenate(
+            [jnp.ones((b, 2), bool), sm, dm], axis=1).reshape(-1)
+
+        # per-sample edge template: src star then dst star, both dirs
+        s_cols = jnp.arange(2, 2 + ks, dtype=jnp.int32)
+        d_cols = jnp.arange(2 + ks, n_cap, dtype=jnp.int32)
+        rows = jnp.concatenate([
+            jnp.zeros(ks, jnp.int32), s_cols,
+            jnp.ones(kd, jnp.int32), d_cols])
+        cols = jnp.concatenate([
+            s_cols, jnp.zeros(ks, jnp.int32),
+            d_cols, jnp.ones(kd, jnp.int32)])
+        e_cap = rows.shape[0]
+        offs = (jnp.arange(b, dtype=jnp.int32) * n_cap)[:, None]
+        edge_index = jnp.stack([
+            (rows[None, :] + offs).reshape(-1),
+            (cols[None, :] + offs).reshape(-1)], axis=0)
+        e_mask = jnp.concatenate([sm, sm, dm, dm], axis=1).reshape(-1)
+
+        graph_ids = jnp.broadcast_to(
+            jnp.arange(b, dtype=jnp.int32)[:, None], (b, n_cap)).reshape(-1)
+
+        def _cat(field):
+            vs = [getattr(v, field) for v in (src, dst, src_nbrs, dst_nbrs)]
+            if any(v is None for v in vs):
+                return None
+            d = vs[0].shape[-1]
+            parts = [vs[0].reshape(b, 1, d), vs[1].reshape(b, 1, d),
+                     vs[2].reshape(b, ks, d), vs[3].reshape(b, kd, d)]
+            return jnp.concatenate(parts, axis=1).reshape(b * n_cap, d)
+
+        nodes = Nodes(ids=node_ids.reshape(-1),
+                      int_attrs=_cat("int_attrs"),
+                      float_attrs=_cat("float_attrs"),
+                      type_name=src.type_name)
+        return cls(edge_index=edge_index, node_ids=node_ids.reshape(-1),
+                   node_mask=node_mask, edge_mask=e_mask,
+                   graph_ids=graph_ids, num_samples=b, node_cap=n_cap,
+                   nodes=nodes)
+
+    def anchor(self, h: jax.Array, slot: int) -> jax.Array:
+        """Embedding of per-sample node ``slot`` (0=src, 1=dst) -> [B, d]."""
+        idx = jnp.arange(self.num_samples, dtype=jnp.int32) * self.node_cap \
+            + slot
+        return h[idx]
+
     def readout(self, h: jax.Array, op: str = "mean") -> jax.Array:
         """Per-sample pooling of node embeddings -> [B, d]."""
         hm = jnp.where(self.node_mask[:, None], h, 0.0)

@@ -134,3 +134,47 @@ def test_link_predictor():
     p = lp.init(jax.random.key(0), s, s)
     out = lp.apply(p, s, s)
     assert out.shape == (5,)
+
+
+def test_edge_star_inducer():
+    """BatchGraph.from_edge_star parity with the reference EdgeInducer
+    (examples/tf/sage/edge_inducer.py:29-107): node layout
+    [src, dst, src_nbrs, dst_nbrs], bidirectional star edges."""
+    from graph_learn_tpu.core.values import Nodes, SparseNodes
+    b, ks, kd, d = 3, 4, 2, 5
+    src = Nodes(ids=jnp.arange(b, dtype=jnp.int32),
+                float_attrs=jnp.ones((b, d)))
+    dst = Nodes(ids=jnp.arange(b, dtype=jnp.int32) + 10,
+                float_attrs=jnp.full((b, d), 2.0))
+    s_nbrs = SparseNodes(ids=jnp.arange(b * ks, dtype=jnp.int32).reshape(b, ks),
+                         degrees=jnp.array([4, 2, 0], jnp.int32),
+                         float_attrs=jnp.full((b, ks, d), 3.0))
+    d_nbrs = SparseNodes(ids=(jnp.arange(b * kd, dtype=jnp.int32) + 50).reshape(b, kd),
+                         degrees=jnp.array([2, 1, 2], jnp.int32),
+                         float_attrs=jnp.full((b, kd, d), 4.0))
+    bg = BatchGraph.from_edge_star(src, dst, s_nbrs, d_nbrs)
+    n_cap = 2 + ks + kd
+    assert bg.num_samples == 3 and bg.node_cap == n_cap
+    nm = np.asarray(bg.node_mask).reshape(b, n_cap)
+    # sample 1: 2 anchors + 2 src nbrs + 1 dst nbr valid
+    assert nm[1].sum() == 5
+    # sample 2: no src nbrs
+    assert nm[2].sum() == 4
+    em = np.asarray(bg.edge_mask).reshape(b, 2 * (ks + kd))
+    assert em[0].sum() == 2 * (4 + 2)
+    assert em[2].sum() == 2 * (0 + 2)
+    # anchors
+    h = jnp.asarray(np.arange(bg.num_nodes, dtype=np.float32))[:, None]
+    np.testing.assert_array_equal(
+        np.asarray(bg.anchor(h, 0))[:, 0], [0, n_cap, 2 * n_cap])
+    # valid edges always touch their sample's anchor slots
+    ei = np.asarray(bg.edge_index)
+    for c in np.where(np.asarray(bg.edge_mask))[0]:
+        s = c // (2 * (ks + kd))
+        lo, hi = s * n_cap, (s + 1) * n_cap
+        assert lo <= ei[0, c] < hi and lo <= ei[1, c] < hi
+        assert ei[0, c] - lo in (0, 1) or ei[1, c] - lo in (0, 1)
+    # features concatenated per slot
+    fa = np.asarray(bg.nodes.float_attrs).reshape(b, n_cap, d)
+    assert np.all(fa[:, 0] == 1.0) and np.all(fa[:, 1] == 2.0)
+    assert np.all(fa[:, 2:2 + ks] == 3.0) and np.all(fa[:, 2 + ks:] == 4.0)
