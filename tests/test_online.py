@@ -88,3 +88,94 @@ def test_query_service_serving(g):
     assert out2["h1"].ids.shape == (1, 3)
     st = svc.stats(qid)
     assert st["qps"] > 0
+
+
+def test_plan_roundtrip(g):
+    """Query plan JSON round-trip (DGS fbs/query_plan.fbs parity)."""
+    import json
+    from graph_learn_tpu.gsl.plan import plan_to_query, query_to_plan
+    q = (g.V("item").batch(6).alias("src")
+         .outV("rel").sample(3).by("topk").alias("hop1")
+         .outNeg("rel").sample(2).by("in_degree").alias("neg")
+         .values())
+    plan = json.loads(json.dumps(query_to_plan(q)))  # through the wire
+    q2 = plan_to_query(g, plan)
+    import jax
+    out1 = q.run(np.arange(6, dtype=np.int32), jax.random.key(3))
+    out2 = q2.run(np.arange(6, dtype=np.int32), jax.random.key(3))
+    assert set(out1) == set(out2) == {"src", "hop1", "neg"}
+    np.testing.assert_array_equal(np.asarray(out1["hop1"].ids),
+                                  np.asarray(out2["hop1"].ids))
+    np.testing.assert_array_equal(np.asarray(out1["neg"].ids),
+                                  np.asarray(out2["neg"].ids))
+
+
+def test_http_serving_tier(g):
+    """Full HTTP loop: schema -> install plan -> run -> update -> refresh.
+
+    Parity with the DGS edge (event_handler.cc:139-151 run_query,
+    http_service.py:35-118 admin routes, Java client transport)."""
+    from graph_learn_tpu.online.http import ServingClient, ServingServer
+    srv = ServingServer(g).start()
+    try:
+        c = ServingClient("http://%s:%d" % (srv.host, srv.port))
+        schema = c.schema()
+        assert schema["nodes"]["item"] == 40
+
+        q = (g.V("item").batch(4).alias("src")
+             .outV("rel").sample(3).by("random").alias("hop1")
+             .values())
+        qid = c.install(q, micro_batch=8)
+        out = c.run(qid, [0, 10, 20, 30, 40, 50])
+        assert len(out["src"]["ids"]) == 6
+        assert len(out["hop1"]["ids"]) == 6
+        assert len(out["hop1"]["ids"][0]) == 3
+        assert len(out["src"]["float_attrs"][0]) == 4
+
+        st = c.stats(qid)
+        assert st["qps"] > 0
+
+        # streaming update: node 0 gains 2 heavy edges; visible after refresh
+        c.update(edges={"rel": {"src_ids": [0, 0],
+                                "dst_ids": [390, 380],
+                                "weights": [9.0, 8.0]}})
+        c.refresh()
+        q2 = (g.V("item").batch(1).alias("src")
+              .outV("rel").sample(3).by("topk").alias("top")
+              .values())
+        qid2 = c.install(q2, micro_batch=4)
+        out2 = c.run(qid2, [0])
+        # topk by weight: the new weight-9/8 edges dominate
+        got = set(out2["top"]["ids"][0])
+        assert 39 in got and 38 in got
+    finally:
+        srv.stop()
+
+
+def test_export_serving_fn(g, tmp_path):
+    """StableHLO export of sample+embed (TF-serving export parity)."""
+    import jax
+    import jax.numpy as jnp
+    from graph_learn_tpu.gsl.compile import _execute
+    from graph_learn_tpu.online.export import (export_serving_fn,
+                                               load_serving_fn)
+
+    q = (g.V("item").batch(4).alias("src")
+         .outV("rel").sample(3).by("random").alias("hop1")
+         .values())
+    tables = q.device_tables()
+
+    def serve(seeds, key):
+        out = _execute(q, tables, seeds, key)
+        # toy "embedding": mean of neighbor attrs concat src attrs
+        nbr = jnp.mean(out["hop1"].float_attrs, axis=1)
+        return jnp.concatenate([out["src"].float_attrs, nbr], axis=-1)
+
+    seeds = jnp.arange(4, dtype=jnp.int32)
+    key = jax.random.key(0)
+    path = str(tmp_path / "serving.stablehlo")
+    export_serving_fn(serve, (seeds, key), path=path)
+    call = load_serving_fn(path)
+    out = call(seeds, key)
+    ref = serve(seeds, key)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
