@@ -82,6 +82,11 @@ class DeviceCSR:
     # edge timestamps in CSR order (ascending per row when timestamped),
     # enabling exact before-t prefix sampling (temporal graphs)
     nbr_ts: Optional[jax.Array] = None  # [E] int64
+    # tiled-gather fast paths (ops/segment.py flat/pair_gather): XLA's
+    # scalar gather moves a 512B tile per element; these lane-tiled views
+    # turn every sampler's (nbr_id, edge_id) fetch into one row gather
+    nbr_packed: Optional[jax.Array] = None  # [ceil(2E/128), 128] int32
+    off_pairs: Optional[jax.Array] = None  # [ceil(2N/128), 128] int32
 
     @property
     def num_rows(self) -> int:
@@ -350,6 +355,11 @@ class EdgeTable:
             minimal = conf.storage_profile == "minimal"
             src32 = self.src.astype(np.int32)
             dst32 = self.dst.astype(np.int32)
+            from graph_learn_tpu.ops.segment import pack_pairs_host
+
+            def _off_pairs(ro_):
+                return pack_pairs_host(ro_[:-1], ro_[1:])
+
             ro, nbr, eids, nbr_s, eid_s, cumw, cumind, nts = _build_csr(
                 self.src, dst32, self.num_src_nodes,
                 self._sort_key, self._sort_desc, self.weights,
@@ -360,7 +370,9 @@ class EdgeTable:
                 nbr_edge_ids_sorted=None if minimal else _put(eid_s),
                 cum_weights=None if minimal else _opt_put(cumw),
                 cum_in_degrees=None if minimal else _opt_put(cumind),
-                nbr_ts=_opt_put(nts))
+                nbr_ts=_opt_put(nts),
+                nbr_packed=_put(pack_pairs_host(nbr, eids)),
+                off_pairs=_put(_off_pairs(ro)))
             inc = None
             if not minimal:
                 ro_i, nbr_i, eids_i, nbr_si, eid_si, cumw_i, cumind_i, \
@@ -374,7 +386,9 @@ class EdgeTable:
                     nbr_edge_ids_sorted=_put(eid_si),
                     cum_weights=_opt_put(cumw_i),
                     cum_in_degrees=_opt_put(cumind_i),
-                    nbr_ts=_opt_put(nts_i))
+                    nbr_ts=_opt_put(nts_i),
+                    nbr_packed=_put(pack_pairs_host(nbr_i, eids_i)),
+                    off_pairs=_put(_off_pairs(ro_i)))
 
             def _pool(ids32, degs):
                 uniq = np.unique(ids32)

@@ -30,7 +30,9 @@ import jax.numpy as jnp
 
 from graph_learn_tpu.config import conf
 from graph_learn_tpu.core.store import DeviceEdgeTable, DeviceNodeTable
-from graph_learn_tpu.ops.segment import row_bounds, segment_member
+from graph_learn_tpu.ops.segment import (row_bounds,
+                                         row_bounds_csr,
+                                         segment_member)
 
 
 def _draw_uniform_ids(cand_ids: jax.Array, key: jax.Array, shape):
@@ -50,7 +52,7 @@ def _reject_neighbors(et: DeviceEdgeTable, seeds: jax.Array,
                       cands: jax.Array, reverse: bool = False) -> jax.Array:
     """[b, k, R] -> True where candidate is a true neighbor of its seed."""
     csr = et.inc if reverse else et.out
-    start, end, _ = row_bounds(csr.row_offsets, seeds)
+    start, end, _ = row_bounds_csr(csr, seeds)
     b = seeds.shape[0]
     extra = cands.shape[1:]
     lo = start.reshape((b,) + (1,) * len(extra))

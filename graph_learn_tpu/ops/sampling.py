@@ -37,7 +37,9 @@ import numpy as np
 
 from graph_learn_tpu.config import conf
 from graph_learn_tpu.core.store import DeviceCSR
-from graph_learn_tpu.ops.segment import (row_bounds, segment_member,
+from graph_learn_tpu.ops.segment import (flat_gather, pair_gather,
+                                         row_bounds, row_bounds_csr,
+                                         segment_member,
                                          segmented_searchsorted)
 
 
@@ -66,8 +68,11 @@ def _gather(csr: DeviceCSR, pos: jax.Array, valid: jax.Array):
     """Gather (nbr_ids, edge_ids) at flat CSR positions, masking invalid."""
     e = csr.nbr_ids.shape[0]
     posc = jnp.clip(pos, 0, max(e - 1, 0))
-    ids = csr.nbr_ids[posc]
-    eids = csr.nbr_edge_ids[posc]
+    if csr.nbr_packed is not None:
+        ids, eids = pair_gather(csr.nbr_packed, posc)
+    else:
+        ids = csr.nbr_ids[posc]
+        eids = csr.nbr_edge_ids[posc]
     ids = jnp.where(valid, ids, jnp.int32(conf.default_neighbor_id))
     eids = jnp.where(valid, eids, jnp.int32(-1))
     return ids, eids
@@ -90,11 +95,14 @@ def _apply_filter_retry(csr: DeviceCSR, key: jax.Array, seeds: jax.Array,
     u = jax.random.uniform(key, seeds.shape + (k, rounds))
     pos = draw_fn(u)  # [b, k, rounds] flat positions
     e = csr.nbr_ids.shape[0]
-    cand = csr.nbr_ids[jnp.clip(pos, 0, max(e - 1, 0))]
+    posc = jnp.clip(pos, 0, max(e - 1, 0))
+    if csr.nbr_packed is not None:
+        cand, cand_eid = pair_gather(csr.nbr_packed, posc)
+    else:
+        cand, cand_eid = csr.nbr_ids[posc], csr.nbr_edge_ids[posc]
     cand_ts = None
     if edge_ts is not None:
-        cand_ts = edge_ts[jnp.clip(
-            csr.nbr_edge_ids[jnp.clip(pos, 0, max(e - 1, 0))], 0, None)]
+        cand_ts = edge_ts[jnp.clip(cand_eid, 0, None)]
     bad = flt.hit(seeds, cand, cand_ts)  # [b, k, rounds]
     # first acceptable round per draw (else last round)
     first_ok = jnp.argmax(~bad, axis=-1)
@@ -107,7 +115,7 @@ def uniform_sample(csr: DeviceCSR, seeds: jax.Array, k: int, key: jax.Array,
                    flt: Optional[SampleFilter] = None,
                    edge_ts: Optional[jax.Array] = None):
     """Uniform with replacement. Returns (nbr_ids [b,k], edge_ids [b,k])."""
-    start, _, deg = row_bounds(csr.row_offsets, seeds)
+    start, _, deg = row_bounds_csr(csr, seeds)
 
     def draw(u):
         idx = jnp.floor(u * deg.reshape(deg.shape + (1,) * (u.ndim - 1))
@@ -124,7 +132,7 @@ def uniform_sample(csr: DeviceCSR, seeds: jax.Array, k: int, key: jax.Array,
 def topk_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
                 key: Optional[jax.Array] = None):
     """First k of the (weight-desc / ts-asc) adjacency; circular padding."""
-    start, _, deg = row_bounds(csr.row_offsets, seeds)
+    start, _, deg = row_bounds_csr(csr, seeds)
     ar = jnp.arange(k, dtype=jnp.int32)
     if conf.padding_mode == 1:  # circular (circular_padder.h)
         idx = ar[None, :] % jnp.maximum(deg, 1)[:, None]
@@ -142,7 +150,7 @@ def weighted_sample(csr: DeviceCSR, seeds: jax.Array, k: int, key: jax.Array,
     if cum is None:
         raise ValueError(
             "CSR has no %s CDF table (source not weighted?)" % by)
-    start, end, deg = row_bounds(csr.row_offsets, seeds)
+    start, end, deg = row_bounds_csr(csr, seeds)
     u = jax.random.uniform(key, seeds.shape + (k,))
     pos = segmented_searchsorted(cum, start[:, None], end[:, None], u,
                                  side="left")
@@ -170,7 +178,7 @@ def without_replacement_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
     trick.  With k small (fanouts <= 32) the k-step lax.scan is cheap.
     """
     b = seeds.shape[0]
-    start, _, deg = row_bounds(csr.row_offsets, seeds)
+    start, _, deg = row_bounds_csr(csr, seeds)
     degm = jnp.maximum(deg, 1)
 
     # Virtual Fisher-Yates: maintain up to k (index -> replacement) pairs.
@@ -223,7 +231,7 @@ def full_sample(csr: DeviceCSR, seeds: jax.Array, cap: int):
     degrees is clipped to cap (reference truncates to count when count > 0,
     full_sampler.cc:31-60).
     """
-    start, _, deg = row_bounds(csr.row_offsets, seeds)
+    start, _, deg = row_bounds_csr(csr, seeds)
     ar = jnp.arange(cap, dtype=jnp.int32)[None, :]
     pos = start[:, None] + ar
     valid = ar < deg[:, None]

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from graph_learn_tpu.config import conf
 from graph_learn_tpu.core.store import DeviceCSR
 from graph_learn_tpu.core.values import SubGraphVal
-from graph_learn_tpu.ops.segment import row_bounds
+from graph_learn_tpu.ops.segment import (pair_gather, row_bounds,
+                                         row_bounds_csr)
 
 
 def induce_subgraph(csr: DeviceCSR, seeds: jax.Array,
@@ -48,8 +49,12 @@ def induce_subgraph(csr: DeviceCSR, seeds: jax.Array,
     ar = jnp.arange(cap, dtype=jnp.int32)[None, :]
     pos = start[:, None] + ar
     e = csr.nbr_ids.shape[0]
-    nbr = csr.nbr_ids[jnp.clip(pos, 0, max(e - 1, 0))]
-    eid = csr.nbr_edge_ids[jnp.clip(pos, 0, max(e - 1, 0))]
+    posc = jnp.clip(pos, 0, max(e - 1, 0))
+    if csr.nbr_packed is not None:
+        nbr, eid = pair_gather(csr.nbr_packed, posc)
+    else:
+        nbr = csr.nbr_ids[posc]
+        eid = csr.nbr_edge_ids[posc]
     row_valid = (ar < deg[:, None]) & (jnp.arange(b)[:, None] < num_nodes)
 
     # membership of neighbor in unique seed set (uniq is sorted; padding is

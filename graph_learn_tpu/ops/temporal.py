@@ -23,14 +23,16 @@ import jax.numpy as jnp
 from graph_learn_tpu.config import conf
 from graph_learn_tpu.core.store import DeviceCSR
 from graph_learn_tpu.ops.sampling import _gather
-from graph_learn_tpu.ops.segment import row_bounds, segmented_searchsorted
+from graph_learn_tpu.ops.segment import (row_bounds,
+                                         row_bounds_csr,
+                                         segmented_searchsorted)
 
 
 def _cutoffs(csr: DeviceCSR, seeds: jax.Array, t_upper: jax.Array):
     """start, cutoff (exclusive), temporal degree for each seed."""
     if csr.nbr_ts is None:
         raise ValueError("edge type is not timestamped")
-    start, end, _ = row_bounds(csr.row_offsets, seeds)
+    start, end, _ = row_bounds_csr(csr, seeds)
     hi = segmented_searchsorted(csr.nbr_ts, start, end,
                                 t_upper.astype(csr.nbr_ts.dtype),
                                 side="left")

@@ -23,16 +23,20 @@ import jax.numpy as jnp
 
 from graph_learn_tpu.config import conf
 from graph_learn_tpu.core.store import DeviceCSR
-from graph_learn_tpu.ops.segment import row_bounds, segment_member
+from graph_learn_tpu.ops.segment import (flat_gather, pair_gather,
+                                         row_bounds, row_bounds_csr,
+                                         segment_member)
 
 
 def _uniform_step(csr: DeviceCSR, cur: jax.Array, key: jax.Array) -> jax.Array:
-    start, _, deg = row_bounds(csr.row_offsets, jnp.maximum(cur, 0))
+    start, _, deg = row_bounds_csr(csr, jnp.maximum(cur, 0))
     u = jax.random.uniform(key, cur.shape)
     idx = jnp.minimum(jnp.floor(u * deg).astype(jnp.int32),
                       jnp.maximum(deg, 1) - 1)
     e = csr.nbr_ids.shape[0]
-    nxt = csr.nbr_ids[jnp.clip(start + idx, 0, max(e - 1, 0))]
+    posc = jnp.clip(start + idx, 0, max(e - 1, 0))
+    nxt = (pair_gather(csr.nbr_packed, posc)[0] if csr.nbr_packed is not None
+           else csr.nbr_ids[posc])
     return jnp.where((deg > 0) & (cur >= 0), nxt, jnp.int32(-1))
 
 
@@ -66,13 +70,15 @@ def node2vec_walk(csr: DeviceCSR, seeds: jax.Array, walk_len: int,
     def step(carry, k):
         prev, cur = carry
         k1, k2 = jax.random.split(k)
-        start, _, deg = row_bounds(csr.row_offsets, jnp.maximum(cur, 0))
-        pstart, pend, _ = row_bounds(csr.row_offsets, jnp.maximum(prev, 0))
+        start, _, deg = row_bounds_csr(csr, jnp.maximum(cur, 0))
+        pstart, pend, _ = row_bounds_csr(csr, jnp.maximum(prev, 0))
         u = jax.random.uniform(k1, cur.shape + (num_tries,))
         idx = jnp.minimum(jnp.floor(u * deg[:, None]).astype(jnp.int32),
                           jnp.maximum(deg, 1)[:, None] - 1)
         e = csr.nbr_ids.shape[0]
-        cand = csr.nbr_ids[jnp.clip(start[:, None] + idx, 0, max(e - 1, 0))]
+        cpos = jnp.clip(start[:, None] + idx, 0, max(e - 1, 0))
+        cand = (pair_gather(csr.nbr_packed, cpos)[0]
+                if csr.nbr_packed is not None else csr.nbr_ids[cpos])
         is_prev = cand == prev[:, None]
         is_pnbr = segment_member(csr.nbr_ids_sorted, pstart[:, None],
                                  pend[:, None], cand)
