@@ -84,8 +84,12 @@ class DeviceCSR:
     nbr_ts: Optional[jax.Array] = None  # [E] int64
     # tiled-gather fast paths (ops/segment.py flat/pair_gather): XLA's
     # scalar gather moves a 512B tile per element; these lane-tiled views
-    # turn every sampler's (nbr_id, edge_id) fetch into one row gather
-    nbr_packed: Optional[jax.Array] = None  # [ceil(2E/128), 128] int32
+    # turn every sampler's neighbor/edge-id fetch into one row gather.
+    # ids and edge ids are SEPARATE tables so (a) XLA DCEs the eid gather
+    # when a hop never touches edge payload and (b) each table alone stays
+    # within the fast on-chip working-set tier for mid-size graphs.
+    nbr_tiled: Optional[jax.Array] = None  # [ceil(E/128), 128] int32
+    eid_tiled: Optional[jax.Array] = None  # [ceil(E/128), 128] int32
     off_pairs: Optional[jax.Array] = None  # [ceil(2N/128), 128] int32
 
     @property
@@ -355,7 +359,8 @@ class EdgeTable:
             minimal = conf.storage_profile == "minimal"
             src32 = self.src.astype(np.int32)
             dst32 = self.dst.astype(np.int32)
-            from graph_learn_tpu.ops.segment import pack_pairs_host
+            from graph_learn_tpu.ops.segment import (pack_pairs_host,
+                                                     pad_lanes_host)
 
             def _off_pairs(ro_):
                 return pack_pairs_host(ro_[:-1], ro_[1:])
@@ -371,7 +376,8 @@ class EdgeTable:
                 cum_weights=None if minimal else _opt_put(cumw),
                 cum_in_degrees=None if minimal else _opt_put(cumind),
                 nbr_ts=_opt_put(nts),
-                nbr_packed=_put(pack_pairs_host(nbr, eids)),
+                nbr_tiled=_put(pad_lanes_host(nbr)),
+                eid_tiled=_put(pad_lanes_host(eids)),
                 off_pairs=_put(_off_pairs(ro)))
             inc = None
             if not minimal:
@@ -387,7 +393,8 @@ class EdgeTable:
                     cum_weights=_opt_put(cumw_i),
                     cum_in_degrees=_opt_put(cumind_i),
                     nbr_ts=_opt_put(nts_i),
-                    nbr_packed=_put(pack_pairs_host(nbr_i, eids_i)),
+                    nbr_tiled=_put(pad_lanes_host(nbr_i)),
+                    eid_tiled=_put(pad_lanes_host(eids_i)),
                     off_pairs=_put(_off_pairs(ro_i)))
 
             def _pool(ids32, degs):

@@ -68,8 +68,9 @@ def _gather(csr: DeviceCSR, pos: jax.Array, valid: jax.Array):
     """Gather (nbr_ids, edge_ids) at flat CSR positions, masking invalid."""
     e = csr.nbr_ids.shape[0]
     posc = jnp.clip(pos, 0, max(e - 1, 0))
-    if csr.nbr_packed is not None:
-        ids, eids = pair_gather(csr.nbr_packed, posc)
+    if csr.nbr_tiled is not None:
+        ids = flat_gather(csr.nbr_tiled, posc)
+        eids = flat_gather(csr.eid_tiled, posc)
     else:
         ids = csr.nbr_ids[posc]
         eids = csr.nbr_edge_ids[posc]
@@ -96,8 +97,10 @@ def _apply_filter_retry(csr: DeviceCSR, key: jax.Array, seeds: jax.Array,
     pos = draw_fn(u)  # [b, k, rounds] flat positions
     e = csr.nbr_ids.shape[0]
     posc = jnp.clip(pos, 0, max(e - 1, 0))
-    if csr.nbr_packed is not None:
-        cand, cand_eid = pair_gather(csr.nbr_packed, posc)
+    if csr.nbr_tiled is not None:
+        cand = flat_gather(csr.nbr_tiled, posc)
+        cand_eid = (flat_gather(csr.eid_tiled, posc)
+                    if edge_ts is not None else None)
     else:
         cand, cand_eid = csr.nbr_ids[posc], csr.nbr_edge_ids[posc]
     cand_ts = None

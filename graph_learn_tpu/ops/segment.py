@@ -53,20 +53,29 @@ def pack_pairs_host(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def flat_gather(arr2d: jax.Array, pos: jax.Array) -> jax.Array:
-    """arr[pos] where ``arr2d`` is the pad_lanes view of flat ``arr``."""
-    rows = arr2d[pos >> 7]  # [*, 128] row gather: HBM-speed
-    rem = (pos & 127)[..., None]
+    """arr[pos] where ``arr2d`` is the pad_lanes view of flat ``arr``.
+
+    ``pos`` is flattened internally: XLA lowers gathers with extra batch
+    dims noticeably slower than a single flat index vector (measured
+    0.68ms vs 0.41ms for the same 154k draws).
+    """
+    shp = pos.shape
+    p = pos.reshape(-1)
+    rows = arr2d[p >> 7]  # [M, 128] row gather: HBM-speed
+    rem = (p & 127)[:, None]
     lane = jnp.arange(_LANES, dtype=jnp.int32)
-    return jnp.sum(jnp.where(lane == rem, rows, 0), axis=-1)
+    return jnp.sum(jnp.where(lane == rem, rows, 0), axis=-1).reshape(shp)
 
 
 def pair_gather(packed2d: jax.Array, pos: jax.Array):
     """(a[pos], b[pos]) from a pack_pairs view — ONE row fetch for both."""
-    rows = packed2d[pos >> 6]
-    rem = ((pos & 63) << 1)[..., None]
+    shp = pos.shape
+    p = pos.reshape(-1)
+    rows = packed2d[p >> 6]
+    rem = ((p & 63) << 1)[:, None]
     lane = jnp.arange(_LANES, dtype=jnp.int32)
-    a = jnp.sum(jnp.where(lane == rem, rows, 0), axis=-1)
-    b = jnp.sum(jnp.where(lane == rem + 1, rows, 0), axis=-1)
+    a = jnp.sum(jnp.where(lane == rem, rows, 0), axis=-1).reshape(shp)
+    b = jnp.sum(jnp.where(lane == rem + 1, rows, 0), axis=-1).reshape(shp)
     return a, b
 
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from graph_learn_tpu.config import conf
 from graph_learn_tpu.core.store import DeviceCSR
 from graph_learn_tpu.core.values import SubGraphVal
-from graph_learn_tpu.ops.segment import (pair_gather, row_bounds,
+from graph_learn_tpu.ops.segment import (flat_gather, row_bounds,
                                          row_bounds_csr)
 
 
@@ -50,8 +50,9 @@ def induce_subgraph(csr: DeviceCSR, seeds: jax.Array,
     pos = start[:, None] + ar
     e = csr.nbr_ids.shape[0]
     posc = jnp.clip(pos, 0, max(e - 1, 0))
-    if csr.nbr_packed is not None:
-        nbr, eid = pair_gather(csr.nbr_packed, posc)
+    if csr.nbr_tiled is not None:
+        nbr = flat_gather(csr.nbr_tiled, posc)
+        eid = flat_gather(csr.eid_tiled, posc)
     else:
         nbr = csr.nbr_ids[posc]
         eid = csr.nbr_edge_ids[posc]

@@ -35,7 +35,7 @@ def _uniform_step(csr: DeviceCSR, cur: jax.Array, key: jax.Array) -> jax.Array:
                       jnp.maximum(deg, 1) - 1)
     e = csr.nbr_ids.shape[0]
     posc = jnp.clip(start + idx, 0, max(e - 1, 0))
-    nxt = (pair_gather(csr.nbr_packed, posc)[0] if csr.nbr_packed is not None
+    nxt = (flat_gather(csr.nbr_tiled, posc) if csr.nbr_tiled is not None
            else csr.nbr_ids[posc])
     return jnp.where((deg > 0) & (cur >= 0), nxt, jnp.int32(-1))
 
@@ -77,8 +77,8 @@ def node2vec_walk(csr: DeviceCSR, seeds: jax.Array, walk_len: int,
                           jnp.maximum(deg, 1)[:, None] - 1)
         e = csr.nbr_ids.shape[0]
         cpos = jnp.clip(start[:, None] + idx, 0, max(e - 1, 0))
-        cand = (pair_gather(csr.nbr_packed, cpos)[0]
-                if csr.nbr_packed is not None else csr.nbr_ids[cpos])
+        cand = (flat_gather(csr.nbr_tiled, cpos)
+                if csr.nbr_tiled is not None else csr.nbr_ids[cpos])
         is_prev = cand == prev[:, None]
         is_pnbr = segment_member(csr.nbr_ids_sorted, pstart[:, None],
                                  pend[:, None], cand)
