@@ -67,11 +67,23 @@ class DeviceNodeTable:
 
 @struct.dataclass
 class DeviceCSR:
-    """One direction of adjacency in CSR form."""
+    """One direction of adjacency in CSR form.
+
+    Neighbor/edge-id arrays live ONLY as lane-tiled [ceil(E/128), 128]
+    views (ops/segment.py flat_gather): XLA's scalar gather moves a 512B
+    tile per element, so every sampler fetch is a 128-lane row gather +
+    on-chip lane select instead.  ids and edge ids are SEPARATE tables so
+    (a) XLA DCEs the eid gather when a hop never touches edge payload and
+    (b) each table alone stays within the fast on-chip working-set tier
+    for mid-size graphs.  ``off_pairs`` interleaves (start, end) row
+    bounds so both come from one fetch.
+    """
 
     row_offsets: jax.Array  # [Nrow+1] int32
-    nbr_ids: jax.Array  # [E] int32 dense neighbor indices (build order)
-    nbr_edge_ids: jax.Array  # [E] int32 edge row indices (build order)
+    nbr_tiled: jax.Array  # [ceil(E/128), 128] int32, build order
+    eid_tiled: jax.Array  # [ceil(E/128), 128] int32
+    off_pairs: jax.Array  # [ceil(2N/128), 128] int32
+    n_edges: int = struct.field(pytree_node=False, default=0)
     # id-sorted ordering of the same rows, for bisection membership
     # (None under the "minimal" storage profile):
     nbr_ids_sorted: Optional[jax.Array] = None  # [E] int32, asc per row
@@ -82,15 +94,6 @@ class DeviceCSR:
     # edge timestamps in CSR order (ascending per row when timestamped),
     # enabling exact before-t prefix sampling (temporal graphs)
     nbr_ts: Optional[jax.Array] = None  # [E] int64
-    # tiled-gather fast paths (ops/segment.py flat/pair_gather): XLA's
-    # scalar gather moves a 512B tile per element; these lane-tiled views
-    # turn every sampler's neighbor/edge-id fetch into one row gather.
-    # ids and edge ids are SEPARATE tables so (a) XLA DCEs the eid gather
-    # when a hop never touches edge payload and (b) each table alone stays
-    # within the fast on-chip working-set tier for mid-size graphs.
-    nbr_tiled: Optional[jax.Array] = None  # [ceil(E/128), 128] int32
-    eid_tiled: Optional[jax.Array] = None  # [ceil(E/128), 128] int32
-    off_pairs: Optional[jax.Array] = None  # [ceil(2N/128), 128] int32
 
     @property
     def num_rows(self) -> int:
@@ -98,7 +101,16 @@ class DeviceCSR:
 
     @property
     def num_edges(self) -> int:
-        return self.nbr_ids.shape[0]
+        return self.n_edges
+
+    @property
+    def nbr_ids(self) -> jax.Array:
+        """Flat [E] view (test/debug convenience; hot paths use tiled)."""
+        return self.nbr_tiled.reshape(-1)[:self.n_edges]
+
+    @property
+    def nbr_edge_ids(self) -> jax.Array:
+        return self.eid_tiled.reshape(-1)[:self.n_edges]
 
     def degrees(self) -> jax.Array:
         return self.row_offsets[1:] - self.row_offsets[:-1]
@@ -370,15 +382,16 @@ class EdgeTable:
                 self._sort_key, self._sort_desc, self.weights,
                 self.in_degrees, self.timestamps)
             out = DeviceCSR(
-                row_offsets=_put(ro), nbr_ids=_put(nbr), nbr_edge_ids=_put(eids),
+                row_offsets=_put(ro),
+                nbr_tiled=_put(pad_lanes_host(nbr)),
+                eid_tiled=_put(pad_lanes_host(eids)),
+                off_pairs=_put(_off_pairs(ro)),
+                n_edges=int(nbr.shape[0]),
                 nbr_ids_sorted=None if minimal else _put(nbr_s),
                 nbr_edge_ids_sorted=None if minimal else _put(eid_s),
                 cum_weights=None if minimal else _opt_put(cumw),
                 cum_in_degrees=None if minimal else _opt_put(cumind),
-                nbr_ts=_opt_put(nts),
-                nbr_tiled=_put(pad_lanes_host(nbr)),
-                eid_tiled=_put(pad_lanes_host(eids)),
-                off_pairs=_put(_off_pairs(ro)))
+                nbr_ts=_opt_put(nts))
             inc = None
             if not minimal:
                 ro_i, nbr_i, eids_i, nbr_si, eid_si, cumw_i, cumind_i, \
@@ -387,15 +400,16 @@ class EdgeTable:
                         self._sort_key, self._sort_desc, self.weights,
                         self.out_degrees, self.timestamps)
                 inc = DeviceCSR(
-                    row_offsets=_put(ro_i), nbr_ids=_put(nbr_i),
-                    nbr_edge_ids=_put(eids_i), nbr_ids_sorted=_put(nbr_si),
+                    row_offsets=_put(ro_i),
+                    nbr_tiled=_put(pad_lanes_host(nbr_i)),
+                    eid_tiled=_put(pad_lanes_host(eids_i)),
+                    off_pairs=_put(_off_pairs(ro_i)),
+                    n_edges=int(nbr_i.shape[0]),
+                    nbr_ids_sorted=_put(nbr_si),
                     nbr_edge_ids_sorted=_put(eid_si),
                     cum_weights=_opt_put(cumw_i),
                     cum_in_degrees=_opt_put(cumind_i),
-                    nbr_ts=_opt_put(nts_i),
-                    nbr_tiled=_put(pad_lanes_host(nbr_i)),
-                    eid_tiled=_put(pad_lanes_host(eids_i)),
-                    off_pairs=_put(_off_pairs(ro_i)))
+                    nbr_ts=_opt_put(nts_i))
 
             def _pool(ids32, degs):
                 uniq = np.unique(ids32)

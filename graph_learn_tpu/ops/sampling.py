@@ -66,14 +66,9 @@ class SampleFilter:
 
 def _gather(csr: DeviceCSR, pos: jax.Array, valid: jax.Array):
     """Gather (nbr_ids, edge_ids) at flat CSR positions, masking invalid."""
-    e = csr.nbr_ids.shape[0]
-    posc = jnp.clip(pos, 0, max(e - 1, 0))
-    if csr.nbr_tiled is not None:
-        ids = flat_gather(csr.nbr_tiled, posc)
-        eids = flat_gather(csr.eid_tiled, posc)
-    else:
-        ids = csr.nbr_ids[posc]
-        eids = csr.nbr_edge_ids[posc]
+    posc = jnp.clip(pos, 0, max(csr.n_edges - 1, 0))
+    ids = flat_gather(csr.nbr_tiled, posc)
+    eids = flat_gather(csr.eid_tiled, posc)
     ids = jnp.where(valid, ids, jnp.int32(conf.default_neighbor_id))
     eids = jnp.where(valid, eids, jnp.int32(-1))
     return ids, eids
@@ -95,14 +90,10 @@ def _apply_filter_retry(csr: DeviceCSR, key: jax.Array, seeds: jax.Array,
     rounds = retries + 1
     u = jax.random.uniform(key, seeds.shape + (k, rounds))
     pos = draw_fn(u)  # [b, k, rounds] flat positions
-    e = csr.nbr_ids.shape[0]
-    posc = jnp.clip(pos, 0, max(e - 1, 0))
-    if csr.nbr_tiled is not None:
-        cand = flat_gather(csr.nbr_tiled, posc)
-        cand_eid = (flat_gather(csr.eid_tiled, posc)
-                    if edge_ts is not None else None)
-    else:
-        cand, cand_eid = csr.nbr_ids[posc], csr.nbr_edge_ids[posc]
+    posc = jnp.clip(pos, 0, max(csr.n_edges - 1, 0))
+    cand = flat_gather(csr.nbr_tiled, posc)
+    cand_eid = (flat_gather(csr.eid_tiled, posc)
+                if edge_ts is not None else None)
     cand_ts = None
     if edge_ts is not None:
         cand_ts = edge_ts[jnp.clip(cand_eid, 0, None)]

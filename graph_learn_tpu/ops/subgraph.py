@@ -48,14 +48,10 @@ def induce_subgraph(csr: DeviceCSR, seeds: jax.Array,
                                jnp.minimum(uniq, csr.num_rows - 1))
     ar = jnp.arange(cap, dtype=jnp.int32)[None, :]
     pos = start[:, None] + ar
-    e = csr.nbr_ids.shape[0]
+    e = csr.n_edges
     posc = jnp.clip(pos, 0, max(e - 1, 0))
-    if csr.nbr_tiled is not None:
-        nbr = flat_gather(csr.nbr_tiled, posc)
-        eid = flat_gather(csr.eid_tiled, posc)
-    else:
-        nbr = csr.nbr_ids[posc]
-        eid = csr.nbr_edge_ids[posc]
+    nbr = flat_gather(csr.nbr_tiled, posc)
+    eid = flat_gather(csr.eid_tiled, posc)
     row_valid = (ar < deg[:, None]) & (jnp.arange(b)[:, None] < num_nodes)
 
     # membership of neighbor in unique seed set (uniq is sorted; padding is

@@ -33,10 +33,8 @@ def _uniform_step(csr: DeviceCSR, cur: jax.Array, key: jax.Array) -> jax.Array:
     u = jax.random.uniform(key, cur.shape)
     idx = jnp.minimum(jnp.floor(u * deg).astype(jnp.int32),
                       jnp.maximum(deg, 1) - 1)
-    e = csr.nbr_ids.shape[0]
-    posc = jnp.clip(start + idx, 0, max(e - 1, 0))
-    nxt = (flat_gather(csr.nbr_tiled, posc) if csr.nbr_tiled is not None
-           else csr.nbr_ids[posc])
+    posc = jnp.clip(start + idx, 0, max(csr.n_edges - 1, 0))
+    nxt = flat_gather(csr.nbr_tiled, posc)
     return jnp.where((deg > 0) & (cur >= 0), nxt, jnp.int32(-1))
 
 
@@ -75,10 +73,9 @@ def node2vec_walk(csr: DeviceCSR, seeds: jax.Array, walk_len: int,
         u = jax.random.uniform(k1, cur.shape + (num_tries,))
         idx = jnp.minimum(jnp.floor(u * deg[:, None]).astype(jnp.int32),
                           jnp.maximum(deg, 1)[:, None] - 1)
-        e = csr.nbr_ids.shape[0]
-        cpos = jnp.clip(start[:, None] + idx, 0, max(e - 1, 0))
-        cand = (flat_gather(csr.nbr_tiled, cpos)
-                if csr.nbr_tiled is not None else csr.nbr_ids[cpos])
+        cpos = jnp.clip(start[:, None] + idx,
+                        0, max(csr.n_edges - 1, 0))
+        cand = flat_gather(csr.nbr_tiled, cpos)
         is_prev = cand == prev[:, None]
         is_pnbr = segment_member(csr.nbr_ids_sorted, pstart[:, None],
                                  pend[:, None], cand)
