@@ -84,16 +84,19 @@ class DeviceCSR:
     eid_tiled: jax.Array  # [ceil(E/128), 128] int32
     off_pairs: jax.Array  # [ceil(2N/128), 128] int32
     n_edges: int = struct.field(pytree_node=False, default=0)
+    # static max row degree: bounds per-row bisection to
+    # ceil(log2(max_degree)) iterations instead of ceil(log2(E))
+    max_degree: int = struct.field(pytree_node=False, default=0)
     # id-sorted ordering of the same rows, for bisection membership
     # (None under the "minimal" storage profile):
-    nbr_ids_sorted: Optional[jax.Array] = None  # [E] int32, asc per row
-    nbr_edge_ids_sorted: Optional[jax.Array] = None  # [E] int32
+    nbr_sorted_tiled: Optional[jax.Array] = None  # [ceil(E/128), 128] int32
+    eid_sorted_tiled: Optional[jax.Array] = None
     # inverse-CDF tables (None unless the matching sampler is enabled):
-    cum_weights: Optional[jax.Array] = None  # [E] f32, per-row normalised cumsum
-    cum_in_degrees: Optional[jax.Array] = None  # [E] f32, per-row, ∝ dst in-degree
+    cumw_tiled: Optional[jax.Array] = None  # f32, per-row normalised cumsum
+    cumind_tiled: Optional[jax.Array] = None  # f32, per-row, ∝ dst in-degree
     # edge timestamps in CSR order (ascending per row when timestamped),
     # enabling exact before-t prefix sampling (temporal graphs)
-    nbr_ts: Optional[jax.Array] = None  # [E] int64
+    ts_tiled: Optional[jax.Array] = None  # int32 (rebased)
 
     @property
     def num_rows(self) -> int:
@@ -103,14 +106,38 @@ class DeviceCSR:
     def num_edges(self) -> int:
         return self.n_edges
 
+    def _flat(self, tiled):
+        return (None if tiled is None
+                else tiled.reshape(-1)[:self.n_edges])
+
     @property
     def nbr_ids(self) -> jax.Array:
         """Flat [E] view (test/debug convenience; hot paths use tiled)."""
-        return self.nbr_tiled.reshape(-1)[:self.n_edges]
+        return self._flat(self.nbr_tiled)
 
     @property
     def nbr_edge_ids(self) -> jax.Array:
-        return self.eid_tiled.reshape(-1)[:self.n_edges]
+        return self._flat(self.eid_tiled)
+
+    @property
+    def nbr_ids_sorted(self):
+        return self._flat(self.nbr_sorted_tiled)
+
+    @property
+    def nbr_edge_ids_sorted(self):
+        return self._flat(self.eid_sorted_tiled)
+
+    @property
+    def cum_weights(self):
+        return self._flat(self.cumw_tiled)
+
+    @property
+    def cum_in_degrees(self):
+        return self._flat(self.cumind_tiled)
+
+    @property
+    def nbr_ts(self):
+        return self._flat(self.ts_tiled)
 
     def degrees(self) -> jax.Array:
         return self.row_offsets[1:] - self.row_offsets[:-1]
@@ -381,17 +408,26 @@ class EdgeTable:
                 self.src, dst32, self.num_src_nodes,
                 self._sort_key, self._sort_desc, self.weights,
                 self.in_degrees, self.timestamps)
+            def _tile(a):
+                return None if a is None else _put(pad_lanes_host(a))
+
+            def _maxdeg(ro_):
+                d = np.diff(ro_)
+                return int(d.max()) if d.size else 0
+
             out = DeviceCSR(
                 row_offsets=_put(ro),
                 nbr_tiled=_put(pad_lanes_host(nbr)),
                 eid_tiled=_put(pad_lanes_host(eids)),
                 off_pairs=_put(_off_pairs(ro)),
                 n_edges=int(nbr.shape[0]),
-                nbr_ids_sorted=None if minimal else _put(nbr_s),
-                nbr_edge_ids_sorted=None if minimal else _put(eid_s),
-                cum_weights=None if minimal else _opt_put(cumw),
-                cum_in_degrees=None if minimal else _opt_put(cumind),
-                nbr_ts=_opt_put(nts))
+                max_degree=_maxdeg(ro),
+                nbr_sorted_tiled=None if minimal else _tile(nbr_s),
+                eid_sorted_tiled=None if minimal else _tile(eid_s),
+                cumw_tiled=None if minimal else _tile(cumw),
+                cumind_tiled=None if minimal else _tile(cumind),
+                ts_tiled=_tile(None if nts is None
+                               else nts.astype(np.int32)))
             inc = None
             if not minimal:
                 ro_i, nbr_i, eids_i, nbr_si, eid_si, cumw_i, cumind_i, \
@@ -405,11 +441,13 @@ class EdgeTable:
                     eid_tiled=_put(pad_lanes_host(eids_i)),
                     off_pairs=_put(_off_pairs(ro_i)),
                     n_edges=int(nbr_i.shape[0]),
-                    nbr_ids_sorted=_put(nbr_si),
-                    nbr_edge_ids_sorted=_put(eid_si),
-                    cum_weights=_opt_put(cumw_i),
-                    cum_in_degrees=_opt_put(cumind_i),
-                    nbr_ts=_opt_put(nts_i))
+                    max_degree=_maxdeg(ro_i),
+                    nbr_sorted_tiled=_tile(nbr_si),
+                    eid_sorted_tiled=_tile(eid_si),
+                    cumw_tiled=_tile(cumw_i),
+                    cumind_tiled=_tile(cumind_i),
+                    ts_tiled=_tile(None if nts_i is None
+                                   else nts_i.astype(np.int32)))
 
             def _pool(ids32, degs):
                 uniq = np.unique(ids32)

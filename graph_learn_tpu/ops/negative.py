@@ -57,7 +57,10 @@ def _reject_neighbors(et: DeviceEdgeTable, seeds: jax.Array,
     extra = cands.shape[1:]
     lo = start.reshape((b,) + (1,) * len(extra))
     hi = end.reshape((b,) + (1,) * len(extra))
-    return segment_member(csr.nbr_ids_sorted, lo, hi, cands)
+    from graph_learn_tpu.ops.segment import _bisect_iters
+    return segment_member(None, lo, hi, cands,
+                          sorted2d=csr.nbr_sorted_tiled,
+                          iters=_bisect_iters(csr.max_degree))
 
 
 def negative_sample_from_nodes(nt: DeviceNodeTable, b: int, k: int,

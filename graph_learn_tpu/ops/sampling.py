@@ -64,11 +64,59 @@ class SampleFilter:
         return bad
 
 
-def _gather(csr: DeviceCSR, pos: jax.Array, valid: jax.Array):
-    """Gather (nbr_ids, edge_ids) at flat CSR positions, masking invalid."""
-    posc = jnp.clip(pos, 0, max(csr.n_edges - 1, 0))
-    ids = flat_gather(csr.nbr_tiled, posc)
-    eids = flat_gather(csr.eid_tiled, posc)
+def _nwin(csr: DeviceCSR) -> int:
+    """Tiled rows per seed WINDOW covering any row of this CSR.
+
+    A seed's draws all land in [start, start+deg) — at most
+    ceil((127 + max_degree) / 128) consecutive 128-lane tiles.  Fetching
+    that window ONCE per seed and selecting lanes on-chip replaces k
+    independent row fetches (and log-d bisection probes) with 2-3 fetches.
+    0 disables the window path (hub-degree graphs fall back to per-draw
+    tiled gathers / bisection).
+    """
+    md = csr.max_degree
+    if md and md <= 256:
+        return (md + 254) // 128
+    return 0
+
+
+def _window_select(arr2d: jax.Array, base: jax.Array, pos: jax.Array,
+                   nwin: int) -> jax.Array:
+    """Select arr[pos] from per-seed windows of ``nwin`` tiled rows.
+
+    base: [b] tiled-row index of each seed's window start; pos: [b, ...]
+    absolute flat positions, all within the window.
+    """
+    r = arr2d.shape[0]
+    b = base.shape[0]
+    parts = [arr2d[jnp.clip(base + i, 0, max(r - 1, 0))]
+             for i in range(nwin)]
+    win = jnp.concatenate(parts, axis=-1) if nwin > 1 else parts[0]
+    w = win.shape[-1]
+    extra = pos.ndim - 1
+    rel = pos - (base << 7).reshape((b,) + (1,) * extra)
+    lane = jnp.arange(w, dtype=jnp.int32)
+    sel = lane.reshape((1,) * pos.ndim + (w,)) == rel[..., None]
+    winx = win.reshape((b,) + (1,) * extra + (w,))
+    return jnp.sum(jnp.where(sel, winx, 0), axis=-1)
+
+
+def _gather(csr: DeviceCSR, pos: jax.Array, valid: jax.Array,
+            start: Optional[jax.Array] = None):
+    """Gather (nbr_ids, edge_ids) at flat CSR positions, masking invalid.
+
+    When ``start`` (each seed's row start) is given and the graph's max
+    degree admits it, uses the per-seed window path (_nwin).
+    """
+    nwin = _nwin(csr) if start is not None else 0
+    if nwin:
+        base = start >> 7
+        ids = _window_select(csr.nbr_tiled, base, pos, nwin)
+        eids = _window_select(csr.eid_tiled, base, pos, nwin)
+    else:
+        posc = jnp.clip(pos, 0, max(csr.n_edges - 1, 0))
+        ids = flat_gather(csr.nbr_tiled, posc)
+        eids = flat_gather(csr.eid_tiled, posc)
     ids = jnp.where(valid, ids, jnp.int32(conf.default_neighbor_id))
     eids = jnp.where(valid, eids, jnp.int32(-1))
     return ids, eids
@@ -120,7 +168,7 @@ def uniform_sample(csr: DeviceCSR, seeds: jax.Array, k: int, key: jax.Array,
 
     pos = _apply_filter_retry(csr, key, seeds, start, deg, k, flt, edge_ts, draw)
     valid = (deg > 0)[..., None]
-    return _gather(csr, pos, valid)
+    return _gather(csr, pos, valid, start=start)
 
 
 def topk_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
@@ -134,23 +182,40 @@ def topk_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
         idx = jnp.minimum(ar[None, :], jnp.maximum(deg, 1)[:, None] - 1)
     pos = start[:, None] + idx
     valid = (deg > 0)[:, None]
-    return _gather(csr, pos, valid)
+    return _gather(csr, pos, valid, start=start)
 
 
 def weighted_sample(csr: DeviceCSR, seeds: jax.Array, k: int, key: jax.Array,
                     by: str = "edge_weight"):
     """Inverse-CDF weighted sampling (edge_weight or in_degree strategy)."""
-    cum = csr.cum_weights if by == "edge_weight" else csr.cum_in_degrees
-    if cum is None:
+    cum2d = csr.cumw_tiled if by == "edge_weight" else csr.cumind_tiled
+    if cum2d is None:
         raise ValueError(
             "CSR has no %s CDF table (source not weighted?)" % by)
     start, end, deg = row_bounds_csr(csr, seeds)
     u = jax.random.uniform(key, seeds.shape + (k,))
-    pos = segmented_searchsorted(cum, start[:, None], end[:, None], u,
-                                 side="left")
+    nwin = _nwin(csr)
+    if nwin:
+        # window the whole per-row CDF and COUNT lanes below u — one
+        # fetch replaces the log-d bisection probes entirely
+        base = start >> 7
+        r = cum2d.shape[0]
+        parts = [cum2d[jnp.clip(base + i, 0, max(r - 1, 0))]
+                 for i in range(nwin)]
+        win = jnp.concatenate(parts, axis=-1) if nwin > 1 else parts[0]
+        w = win.shape[-1]
+        lane_abs = (base << 7)[:, None] + jnp.arange(w, dtype=jnp.int32)
+        in_row = (lane_abs >= start[:, None]) & (lane_abs < end[:, None])
+        below = in_row[:, None, :] & (win[:, None, :] < u[..., None])
+        pos = start[:, None] + jnp.sum(below, axis=-1).astype(jnp.int32)
+    else:
+        from graph_learn_tpu.ops.segment import _bisect_iters
+        pos = segmented_searchsorted(None, start[:, None], end[:, None], u,
+                                     side="left", vals2d=cum2d,
+                                     iters=_bisect_iters(csr.max_degree))
     pos = jnp.minimum(pos, jnp.maximum(end, 1)[:, None] - 1)
     valid = (deg > 0)[:, None]
-    return _gather(csr, pos, valid)
+    return _gather(csr, pos, valid, start=start)
 
 
 def without_replacement_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
@@ -216,7 +281,7 @@ def without_replacement_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
     idx = jnp.where(deg[:, None] > k, drawn, take_all)
     pos = start[:, None] + idx
     valid = (deg > 0)[:, None]
-    return _gather(csr, pos, valid)
+    return _gather(csr, pos, valid, start=start)
 
 
 def full_sample(csr: DeviceCSR, seeds: jax.Array, cap: int):
@@ -229,7 +294,7 @@ def full_sample(csr: DeviceCSR, seeds: jax.Array, cap: int):
     ar = jnp.arange(cap, dtype=jnp.int32)[None, :]
     pos = start[:, None] + ar
     valid = ar < deg[:, None]
-    ids, eids = _gather(csr, pos, valid)
+    ids, eids = _gather(csr, pos, valid, start=start)
     return ids, eids, jnp.minimum(deg, cap).astype(jnp.int32)
 
 

@@ -80,16 +80,25 @@ def pair_gather(packed2d: jax.Array, pos: jax.Array):
 
 
 def segmented_searchsorted(vals: jax.Array, lo: jax.Array, hi: jax.Array,
-                           queries: jax.Array, side: str = "left") -> jax.Array:
+                           queries: jax.Array, side: str = "left",
+                           vals2d: jax.Array | None = None,
+                           iters: int | None = None) -> jax.Array:
     """Per-query binary search within [lo_i, hi_i) of a flat sorted-by-segment array.
 
-    vals: [E] values, sorted ascending within each segment.
+    vals: [E] values, sorted ascending within each segment (may be None
+    when ``vals2d`` is given).
     lo, hi: int32 arrays broadcastable to queries.shape (hi exclusive).
     queries: search keys, any shape.
+    vals2d: optional pad_lanes view of vals — each probe becomes a tiled
+    row gather (flat_gather) instead of an XLA scalar gather.
+    iters: optional iteration bound; pass ceil(log2(max segment len)) + 1
+    (e.g. from DeviceCSR.max_degree) — far fewer probes than the default
+    log2(E) bound.
     Returns insertion positions (global flat indices) with lo <= pos <= hi.
     """
-    e = vals.shape[0]
-    iters = _bisect_iters(e)
+    e = vals.shape[0] if vals is not None else vals2d.size
+    if iters is None:
+        iters = _bisect_iters(e)
     q = queries
     lo = jnp.broadcast_to(lo, q.shape).astype(jnp.int32)
     hi = jnp.broadcast_to(hi, q.shape).astype(jnp.int32)
@@ -97,7 +106,8 @@ def segmented_searchsorted(vals: jax.Array, lo: jax.Array, hi: jax.Array,
     def body(_, state):
         lo_, hi_ = state
         mid = (lo_ + hi_) >> 1
-        v = vals[jnp.clip(mid, 0, e - 1)]
+        midc = jnp.clip(mid, 0, e - 1)
+        v = flat_gather(vals2d, midc) if vals2d is not None else vals[midc]
         if side == "left":
             go_right = v < q
         else:
@@ -111,16 +121,21 @@ def segmented_searchsorted(vals: jax.Array, lo: jax.Array, hi: jax.Array,
 
 
 def segment_member(sorted_ids: jax.Array, lo: jax.Array, hi: jax.Array,
-                   queries: jax.Array) -> jax.Array:
+                   queries: jax.Array,
+                   sorted2d: jax.Array | None = None,
+                   iters: int | None = None) -> jax.Array:
     """Is each query id present in its row's id-sorted neighbor segment?
 
     Replaces the reference's per-seed hash-set membership checks
     (random_negative_sampler.cc) with bisection over nbr_ids_sorted.
     """
-    e = sorted_ids.shape[0]
-    pos = segmented_searchsorted(sorted_ids, lo, hi, queries, side="left")
+    e = sorted_ids.shape[0] if sorted_ids is not None else sorted2d.size
+    pos = segmented_searchsorted(sorted_ids, lo, hi, queries, side="left",
+                                 vals2d=sorted2d, iters=iters)
+    posc = jnp.clip(pos, 0, e - 1)
     in_range = pos < hi
-    found = sorted_ids[jnp.clip(pos, 0, e - 1)] == queries
+    found = (flat_gather(sorted2d, posc) if sorted2d is not None
+             else sorted_ids[posc]) == queries
     return in_range & found
 
 

@@ -30,12 +30,28 @@ from graph_learn_tpu.ops.segment import (row_bounds,
 
 def _cutoffs(csr: DeviceCSR, seeds: jax.Array, t_upper: jax.Array):
     """start, cutoff (exclusive), temporal degree for each seed."""
-    if csr.nbr_ts is None:
+    if csr.ts_tiled is None:
         raise ValueError("edge type is not timestamped")
     start, end, _ = row_bounds_csr(csr, seeds)
-    hi = segmented_searchsorted(csr.nbr_ts, start, end,
-                                t_upper.astype(csr.nbr_ts.dtype),
-                                side="left")
+    from graph_learn_tpu.ops.sampling import _nwin
+    nwin = _nwin(csr)
+    t = t_upper.astype(csr.ts_tiled.dtype)
+    if nwin:
+        base = start >> 7
+        r = csr.ts_tiled.shape[0]
+        parts = [csr.ts_tiled[jnp.clip(base + i, 0, max(r - 1, 0))]
+                 for i in range(nwin)]
+        win = jnp.concatenate(parts, axis=-1) if nwin > 1 else parts[0]
+        w = win.shape[-1]
+        lane_abs = (base << 7)[:, None] + jnp.arange(w, dtype=jnp.int32)
+        in_row = (lane_abs >= start[..., None]) & (lane_abs < end[..., None])
+        below = in_row & (win < t[..., None])
+        hi = start + jnp.sum(below, axis=-1).astype(jnp.int32)
+    else:
+        from graph_learn_tpu.ops.segment import _bisect_iters
+        hi = segmented_searchsorted(None, start, end, t, side="left",
+                                    vals2d=csr.ts_tiled,
+                                    iters=_bisect_iters(csr.max_degree))
     return start, hi, hi - start
 
 
@@ -47,7 +63,7 @@ def temporal_uniform_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
     idx = jnp.minimum(jnp.floor(u * deg[:, None]).astype(jnp.int32),
                       jnp.maximum(deg, 1)[:, None] - 1)
     pos = start[:, None] + idx
-    return _gather(csr, pos, (deg > 0)[:, None])
+    return _gather(csr, pos, (deg > 0)[:, None], start=start)
 
 
 def temporal_topk_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
@@ -60,7 +76,7 @@ def temporal_topk_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
     off = ar % jnp.maximum(deg, 1)[:, None]
     pos = hi[:, None] - 1 - off
     pos = jnp.maximum(pos, start[:, None])
-    return _gather(csr, pos, (deg > 0)[:, None])
+    return _gather(csr, pos, (deg > 0)[:, None], start=start)
 
 
 def temporal_full_sample(csr: DeviceCSR, seeds: jax.Array, cap: int,
@@ -72,5 +88,6 @@ def temporal_full_sample(csr: DeviceCSR, seeds: jax.Array, cap: int,
     # keep the most recent `cap` of the prefix: window [hi - degc, hi)
     pos = hi[:, None] - degc[:, None] + ar
     valid = ar < degc[:, None]
-    ids, eids = _gather(csr, jnp.maximum(pos, start[:, None]), valid)
+    ids, eids = _gather(csr, jnp.maximum(pos, start[:, None]), valid,
+                        start=start)
     return ids, eids, degc.astype(jnp.int32)

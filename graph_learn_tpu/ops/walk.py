@@ -77,8 +77,11 @@ def node2vec_walk(csr: DeviceCSR, seeds: jax.Array, walk_len: int,
                         0, max(csr.n_edges - 1, 0))
         cand = flat_gather(csr.nbr_tiled, cpos)
         is_prev = cand == prev[:, None]
-        is_pnbr = segment_member(csr.nbr_ids_sorted, pstart[:, None],
-                                 pend[:, None], cand)
+        from graph_learn_tpu.ops.segment import _bisect_iters
+        is_pnbr = segment_member(None, pstart[:, None],
+                                 pend[:, None], cand,
+                                 sorted2d=csr.nbr_sorted_tiled,
+                                 iters=_bisect_iters(csr.max_degree))
         w = jnp.where(is_prev, inv_p, jnp.where(is_pnbr, 1.0, inv_q))
         acc = jax.random.uniform(k2, cand.shape) * max_w < w
         first = jnp.argmax(acc, axis=-1)
