@@ -87,3 +87,25 @@ def test_profiling_scope(capsys):
     prof.dump()
     out = capsys.readouterr().out
     assert "test_key" in out and "count" in out
+
+
+def test_torch_bridge(g):
+    """GSL -> torch IterableDataset/DataLoader (reference nn/pytorch)."""
+    torch = pytest.importorskip("torch")
+    from graph_learn_tpu.nn.torch_bridge import (TorchDataset, torch_loader,
+                                                 value_to_torch)
+    q = (g.V("item").batch(8).alias("src")
+         .outV("rel").sample(3).by("random").alias("hop")
+         .values())
+    batches = list(TorchDataset(q, window=1))
+    assert len(batches) >= 1
+    b0 = batches[0]
+    assert isinstance(b0["src"]["ids"], torch.Tensor)
+    assert b0["hop"]["ids"].shape == (8, 3)
+    assert b0["src"]["float_attrs"].dtype in (torch.float32, torch.float64)
+
+    # induce_func contract: dict -> custom object
+    def induce(batch):
+        return (batch["src"].ids.shape[0], batch["hop"].ids.shape)
+    out = next(iter(torch_loader(q, window=1, induce_func=induce)))
+    assert out == (8, (8, 3))
