@@ -17,7 +17,8 @@ from graph_learn_tpu.config import (conf, set_default_full_nbr_num,
                                     set_padding_mode, set_retry_times,
                                     set_seed, set_storage_device,
                                     set_tape_capacity, set_use_pallas)
-from graph_learn_tpu.core.schema import Decoder, FeatureSpec, Mask
+from graph_learn_tpu.core.schema import (Decoder, FeatureSpec, Mask,
+                                         NodeFrom)
 from graph_learn_tpu.core.values import (Edges, Nodes, SparseEdges,
                                          SparseNodes, SubGraphVal)
 from graph_learn_tpu.errors import (GLError, InvalidArgumentError,
@@ -31,7 +32,7 @@ from graph_learn_tpu.ops.knn import KnnOption
 __version__ = "0.1.0"
 
 __all__ = [
-    "Graph", "Dataset", "Decoder", "FeatureSpec", "Mask", "conf",
+    "Graph", "Dataset", "Decoder", "FeatureSpec", "Mask", "NodeFrom", "conf",
     "Nodes", "Edges", "SparseNodes", "SparseEdges", "SubGraphVal",
     "GLError", "OutOfRangeError", "InvalidArgumentError", "NotFoundError",
     "UnimplementedError",

@@ -40,6 +40,16 @@ class Mask(enum.Enum):
         return "MASK" + "*" * self.value + type_name
 
 
+class NodeFrom(enum.Enum):
+    """Seed space selector for V() (reference pywrap.NodeFrom,
+    python/graph.py:551-581): NODE iterates a node table/set, EDGE_SRC /
+    EDGE_DST iterate the distinct src/dst nodes of an EDGE type."""
+
+    NODE = 0
+    EDGE_SRC = 1
+    EDGE_DST = 2
+
+
 def mask_type(type_name: str, mask: "Mask | str | None") -> str:
     if mask is None:
         return type_name

@@ -14,10 +14,33 @@ from graph_learn_tpu.gsl.dag import Dag, DagNode
 
 def v_entry(graph, t: str, node_from=None,
             mask: Union[Mask, str, None] = Mask.NONE) -> DagNode:
+    from graph_learn_tpu.core.schema import NodeFrom
     if isinstance(mask, str):
         mask = Mask[mask.upper()]
     mask = mask or Mask.NONE
-    typed = mask_type(t, mask)
+    if isinstance(node_from, str):
+        node_from = NodeFrom[node_from.upper()]
+    if node_from in (NodeFrom.EDGE_SRC, NodeFrom.EDGE_DST):
+        # t is an EDGE type; seed space = its distinct src/dst nodes
+        # (reference NodeFrom.EDGE_SRC/EDGE_DST, graph.py:570-574; storage
+        # GetAllSrcIds/GetAllDstIds)
+        if mask != Mask.NONE:
+            raise InvalidArgumentError(
+                "mask is only valid with node_from=NODE")
+        import numpy as np
+
+        from graph_learn_tpu.core.store import NodeSet
+        et = graph.store.edge_table(t)
+        is_src = node_from == NodeFrom.EDGE_SRC
+        typed = ("ESRC*" if is_src else "EDST*") + t
+        if typed not in graph.store.node_sets:
+            col = et.src if is_src else et.dst
+            graph.store.add_node_set(NodeSet(
+                type_name=typed,
+                base_type=et.src_type if is_src else et.dst_type,
+                indices=np.unique(col).astype(np.int32)))
+    else:
+        typed = mask_type(t, mask)
     # validate early
     graph.store.node_set(typed)
     dag = Dag(graph)

@@ -214,3 +214,35 @@ def test_neg_node_set_sampler_api(g, tmp_graph_dir):
     s = g.negative_sampler("item", expand_factor=5, strategy="node_weight")
     res = s.get(np.array([0, 10, 20], np.int64))
     assert res.ids.shape == (3, 5)
+
+
+def test_v_node_from_edge(g, tmp_graph_dir):
+    """V(edge_type, node_from=EDGE_SRC/EDGE_DST) seed spaces
+    (reference graph.py:570-574 NodeFrom)."""
+    q = (g.V("rel", node_from=gl.NodeFrom.EDGE_SRC).batch(10).alias("s")
+         .values())
+    out = gl.Dataset(q, window=1).next()
+    assert out["s"].ids.shape == (10,)
+    # every node 0..39 is a src in the fixture graph
+    et = g.store.edge_table("rel")
+    src_set = set(np.unique(et.src).tolist())
+    assert set(np.asarray(out["s"].ids).tolist()) <= src_set
+
+    # EDGE_DST iterates distinct dst nodes; also accepts the string form
+    q2 = g.V("rel", node_from="edge_dst").batch(7).alias("d").values()
+    out2 = gl.Dataset(q2, window=1).next()
+    dst_set = set(np.unique(et.dst).tolist())
+    assert set(np.asarray(out2["d"].ids).tolist()) <= dst_set
+
+    # full epoch covers exactly the distinct src set
+    q3 = (g.V("rel", node_from=gl.NodeFrom.EDGE_SRC).batch(7).alias("s")
+          .values())
+    ds = gl.Dataset(q3, window=1)
+    seen = set()
+    try:
+        while True:
+            out, n = ds.next_with_count()
+            seen.update(np.asarray(out["s"].ids)[:n].tolist())
+    except OutOfRangeError:
+        pass
+    assert seen == src_set
