@@ -90,8 +90,15 @@ class Dataset:
         return item
 
     def next(self):
-        """One batch: {alias: Nodes/Edges/SparseNodes/SubGraphVal}."""
-        return self.next_with_count()[0]
+        """One batch: {alias: Nodes/Edges/SparseNodes/SubGraphVal}.
+
+        A ``values(func)`` post-processor set on the query is applied here
+        (reference dag_node.py:302 ``values(func)`` maps the result dict).
+        """
+        out = self.next_with_count()[0]
+        if self.query.post_func is not None:
+            return self.query.post_func(out)
+        return out
 
     def __iter__(self):
         return self

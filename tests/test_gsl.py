@@ -246,3 +246,11 @@ def test_v_node_from_edge(g, tmp_graph_dir):
     except OutOfRangeError:
         pass
     assert seen == src_set
+
+
+def test_values_post_func(g):
+    """values(func) applies the post-processor (dag_node.py:302)."""
+    q = (g.V("item").batch(4).alias("src")
+         .values(lambda d: (d["src"].ids, d["src"].float_attrs)))
+    ids, fa = gl.Dataset(q, window=1).next()
+    assert ids.shape == (4,) and fa.shape == (4, 4)
