@@ -1,0 +1,137 @@
+"""Two-process distributed smoke test (reference run_dist pattern).
+
+The reference validates distribution by launching N local processes with
+an FS/RPC tracker (reference: examples/basic/test_dist_server_mode_fs_
+tracker.py + run_dist_*.sh; SURVEY §4.2).  Here two real OS processes
+form one jax.distributed cluster on the CPU backend (4 virtual devices
+each -> an 8-device global mesh), each loads the SAME graph, and a
+data-parallel train step runs with seeds split by process — the gradient
+all-reduce crosses the process boundary.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import os, sys
+sys.path.insert(0, {{REPO}})
+import numpy as np
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from graph_learn_tpu.parallel.bootstrap import init_cluster
+ok = init_cluster()
+assert ok, "init_cluster should engage in multi-process mode"
+pid = jax.process_index()
+assert jax.device_count() == 8, jax.device_count()
+assert jax.local_device_count() == 4
+
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+import graph_learn_tpu as gl
+from graph_learn_tpu.gsl.compile import _execute
+from graph_learn_tpu.nn.data import EgoGraph
+from graph_learn_tpu.nn.loss import supervised_softmax_loss
+from graph_learn_tpu.nn.models.ego_gnn import EgoGraphSAGE
+from graph_learn_tpu.parallel.mesh import make_mesh
+
+d = {{DATA}}
+dec = gl.Decoder(labeled=True, attr_types=["float"] * 4)
+g = (gl.Graph()
+     .node(os.path.join(d, "nodes"), "v", dec)
+     .edge(os.path.join(d, "edges"), ("v", "v", "e"), gl.Decoder(),
+           directed=False)).init()
+
+q = (g.V("v").batch(16).alias("src")
+     .outV("e").sample(3).by("random").alias("h1").values())
+model = EgoGraphSAGE([4, 3], dec, agg_type="mean")
+tables = q.device_tables()
+
+mesh = make_mesh(n_data=8, n_graph=1)
+seed_sh = NamedSharding(mesh, P("data"))
+repl = NamedSharding(mesh, P())
+
+ds = gl.Dataset(q, window=1)
+b0 = ds.next()
+ego0 = EgoGraph.from_query_result(b0, "src", ["h1"])
+params = model.init(jax.random.key(0), ego0, training=False)
+opt = optax.sgd(0.1)
+opt_state = opt.init(params)
+
+import functools
+@functools.partial(jax.jit, in_shardings=(repl, repl, None, seed_sh, repl),
+                   out_shardings=(repl, repl, repl))
+def step(params, opt_state, tables, seeds, key):
+    batch = _execute(q, tables, seeds, key)
+    def lf(p):
+        ego = EgoGraph.from_query_result(batch, "src", ["h1"])
+        logits = model.apply(p, ego, training=False)
+        return supervised_softmax_loss(logits, batch["src"].labels)
+    loss, grads = jax.value_and_grad(lf)(params)
+    u, o2 = opt.update(grads, opt_state, params)
+    return optax.apply_updates(params, u), o2, loss
+
+# global seed batch; each process feeds its addressable shard
+seeds_global = np.arange(16, dtype=np.int32)
+arrs = []
+for pos, dev in enumerate(mesh.devices.ravel()):
+    if dev.process_index == jax.process_index():
+        arrs.append(jax.device_put(seeds_global[pos * 2:pos * 2 + 2], dev))
+seeds = jax.make_array_from_single_device_arrays(
+    (16,), seed_sh, arrs)
+
+params2, opt_state, loss = step(params, opt_state, tables, seeds,
+                                jax.random.key(1))
+lv = float(loss)
+assert np.isfinite(lv)
+# params identical across processes after the all-reduce
+leaf0 = np.asarray(jax.tree.leaves(params2)[0]).ravel()[:4]
+print("WORKER_OK", pid, round(lv, 6), " ".join("%.6f" % x for x in leaf0))
+"""
+
+
+def test_two_process_data_parallel(tmp_path):
+    n = 64
+    with open(tmp_path / "nodes", "w") as f:
+        f.write("id:int64\tlabel:int64\tfeature:string\n")
+        for i in range(n):
+            f.write("%d\t%d\t%s\n"
+                    % (i, i % 3,
+                       ":".join("%.2f" % (i * 0.1 + j) for j in range(4))))
+    with open(tmp_path / "edges", "w") as f:
+        f.write("src_id:int64\tdst_id:int64\n")
+        for i in range(n):
+            for j in range(1, 4):
+                f.write("%d\t%d\n" % (i, (i + j) % n))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _WORKER.replace("{{REPO}}", repr(repo)) \
+                  .replace("{{DATA}}", repr(str(tmp_path)))
+    env_base = {k: v for k, v in os.environ.items()
+                if not k.startswith(("PALLAS_AXON", "AXON"))}
+    env_base.pop("JAX_PLATFORMS", None)
+    env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env_base["JAX_PLATFORMS"] = "cpu"
+    port = 29731
+    procs = []
+    for pid in range(2):
+        env = dict(env_base,
+                   GLT_COORDINATOR="localhost:%d" % port,
+                   GLT_NUM_PROCS="2", GLT_PROC_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=540)
+        assert p.returncode == 0, (out, err[-2000:])
+        outs.append([ln for ln in out.splitlines()
+                     if ln.startswith("WORKER_OK")][0])
+    # same loss and same post-step params on both processes
+    assert outs[0].split()[2:] == outs[1].split()[2:], outs
