@@ -199,3 +199,49 @@ class UpdateLog:
                     buf.add_edges(t, **rec)
                 n += 1
         return n
+
+
+def expire_edges(graph, older_than, edge_types: Optional[List[str]] = None):
+    """TTL eviction: drop edges with timestamp < ``older_than`` (absolute).
+
+    Parity with the DGS RocksDB-TTL sample store
+    (reference: dynamic_graph_service/src/core/storage/sample_store.h:71 —
+    samples expire after a TTL so the served graph tracks a recency
+    window).  Here eviction rebuilds the host CSR without the stale edges;
+    device views refresh lazily (or via QueryService.refresh()).
+
+    Returns {edge_type: num_dropped}.
+    """
+    store = graph.store
+    dropped: Dict[str, int] = {}
+    types = edge_types or [t for t, et in store.edges.items()
+                           if et.timestamps is not None]
+    for t in types:
+        old = store.edges.get(t)
+        if old is None:
+            raise NotFoundError("unknown edge type %r" % t)
+        if old.timestamps is None:
+            raise InvalidArgumentError(
+                "edge type %r is not timestamped" % t)
+        keep = (old.timestamps + old.ts_base) >= int(older_than)
+        n_drop = int((~keep).sum())
+        if n_drop == 0:
+            dropped[t] = 0
+            continue
+
+        def sel(a):
+            return None if a is None else a[keep]
+
+        new = EdgeTable(
+            t, old.src_type, old.dst_type, old.decoder,
+            src=old.src[keep], dst=old.dst[keep],
+            num_src_nodes=old.num_src_nodes,
+            num_dst_nodes=old.num_dst_nodes,
+            int_attrs=sel(old.int_attrs), float_attrs=sel(old.float_attrs),
+            multival_attrs=sel(old.multival_attrs),
+            multival_lens=sel(old.multival_lens),
+            weights=sel(old.weights), labels=sel(old.labels),
+            timestamps=old.timestamps[keep] + old.ts_base)
+        store.add_edge_table(new)
+        dropped[t] = n_drop
+    return dropped

@@ -179,3 +179,36 @@ def test_export_serving_fn(g, tmp_path):
     out = call(seeds, key)
     ref = serve(seeds, key)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5)
+
+
+def test_expire_edges_ttl(tmp_path):
+    """TTL eviction parity (DGS RocksDB-TTL sample_store.h:71)."""
+    from graph_learn_tpu.online.update import expire_edges
+    d = tmp_path
+    with open(d / "n", "w") as f:
+        f.write("id:int64\n")
+        for i in range(10):
+            f.write("%d\n" % i)
+    with open(d / "e", "w") as f:
+        f.write("src_id:int64\tdst_id:int64\ttimestamp:int64\n")
+        for i in range(10):
+            for j in range(3):
+                f.write("%d\t%d\t%d\n" % (i, (i + j + 1) % 10,
+                                          1000 + i * 10 + j))
+    g = (gl.Graph().node(str(d / "n"), "v", gl.Decoder())
+         .edge(str(d / "e"), ("v", "v", "e"),
+               gl.Decoder(timestamped=True))).init()
+    et0 = g.store.edge_table("e")
+    assert et0.num_edges == 30
+    dropped = expire_edges(g, older_than=1050)
+    assert dropped == {"e": 15}  # ts 1000..1042 below 1050: nodes 0-4
+    et1 = g.store.edge_table("e")
+    assert et1.num_edges == 15
+    assert int((et1.timestamps + et1.ts_base).min()) >= 1050
+    # still queryable; early nodes now have zero degree -> default fill
+    q = (g.V("v").batch(10).alias("s")
+         .outV("e").sample(2).by("topk").alias("h").values())
+    out = gl.Dataset(q, window=1).next()
+    # nodes 0..3 fully expired -> default neighbor fill (id 0)
+    ids = np.asarray(out["h"].ids)
+    assert np.all(ids[:4] == 0)
