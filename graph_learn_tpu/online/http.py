@@ -125,6 +125,14 @@ class ServingServer:
                             apply_updates(outer.graph, outer._buf)
                             outer._buf.clear()
                         self._send(200, {"ok": True})
+                    elif u.path == "/admin/expire":
+                        from graph_learn_tpu.online.update import \
+                            expire_edges
+                        with outer._lock:
+                            dropped = expire_edges(
+                                outer.graph, body["older_than"],
+                                body.get("edge_types"))
+                        self._send(200, {"dropped": dropped})
                     elif u.path == "/admin/refresh":
                         with outer._lock:
                             outer.service.refresh()
@@ -186,6 +194,10 @@ class ServingClient:
                edges: Optional[dict] = None) -> dict:
         return self._post("/admin/update", {
             "nodes": nodes or {}, "edges": edges or {}})
+
+    def expire(self, older_than, edge_types=None) -> dict:
+        return self._post("/admin/expire", {
+            "older_than": int(older_than), "edge_types": edge_types})
 
     def refresh(self):
         return self._post("/admin/refresh", {})
