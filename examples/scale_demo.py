@@ -90,14 +90,15 @@ def main():
     t0 = time.time()
     k, sub = jax.random.split(k)
     params, opt_state, loss = step(params, opt_state, tables, sub)
-    loss.block_until_ready()
+    _ = float(loss)  # true barrier: through the axon tunnel,
+    # block_until_ready() returns at dispatch-ack, not completion
     print("compile+first step %.1fs" % (time.time() - t0))
     steps = 30
     t0 = time.time()
     for i in range(steps):
         k, sub = jax.random.split(k)
         params, opt_state, loss = step(params, opt_state, tables, sub)
-    loss.block_until_ready()
+    _ = float(loss)  # true barrier
     dt = time.time() - t0
     eps = b * (k1 + k1 * k2) * steps / dt
     print("scale demo: %.1f ms/step, %.1fM edges/s on %dM-edge graph"
