@@ -289,6 +289,9 @@ def _exec_hop(query: Query, tables, node: DagNode, parent: _Rec, recs, key):
         ids, eids = samp_ops.weighted_sample(csr, flat, k, key, by=strategy)
     elif strategy == "random_without_replacement":
         ids, eids = samp_ops.without_replacement_sample(csr, flat, k, key)
+    elif strategy in samp_ops.STRATEGY_FNS:
+        # user-registered strategy (register_sampler extension point)
+        ids, eids = samp_ops.STRATEGY_FNS[strategy](csr, flat, k, key)
     else:
         raise InvalidArgumentError("unknown strategy %r" % strategy)
 

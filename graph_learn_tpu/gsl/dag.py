@@ -110,9 +110,12 @@ class DagNode:
                 raise InvalidArgumentError(
                     "negative strategy %r not in %r" % (strategy, _VALID_NEG))
         elif self.kind in ("out_v", "in_v", "out_e", "in_e"):
-            if strategy not in _VALID_SAMPLERS:
+            from graph_learn_tpu.ops.sampling import STRATEGY_FNS
+            if strategy not in _VALID_SAMPLERS and \
+                    strategy not in STRATEGY_FNS:
                 raise InvalidArgumentError(
-                    "sampler strategy %r not in %r" % (strategy, _VALID_SAMPLERS))
+                    "sampler strategy %r not in %r nor registered"
+                    % (strategy, _VALID_SAMPLERS))
         else:
             raise InvalidArgumentError(".by() only after .sample()")
         self.strategy = strategy

@@ -306,3 +306,22 @@ STRATEGY_FNS = {
     "random_without_replacement": without_replacement_sample,
     "full": full_sample,
 }
+
+
+def register_sampler(name: str, fn) -> None:
+    """Register a custom neighbor-sampling strategy for GSL ``.by(name)``.
+
+    The documented extension point of the reference — subclass + 
+    REGISTER_OPERATOR + request factory (reference:
+    docs/en/gl/developer/operator.md:49-104, core/operator/op_registry.h)
+    — collapses to one jit-compatible function here:
+
+        fn(csr: DeviceCSR, seeds: [b] int32, k: int, key) -> (ids, eids)
+
+    returning [b, k] neighbor/edge-id arrays (use ops.sampling helpers:
+    row_bounds_csr, _gather, _window_select).  Built-in names cannot be
+    overridden.
+    """
+    if name in STRATEGY_FNS:
+        raise ValueError("strategy %r already registered" % name)
+    STRATEGY_FNS[name] = fn

@@ -254,3 +254,35 @@ def test_values_post_func(g):
          .values(lambda d: (d["src"].ids, d["src"].float_attrs)))
     ids, fa = gl.Dataset(q, window=1).next()
     assert ids.shape == (4,) and fa.shape == (4, 4)
+
+
+def test_register_custom_sampler(g):
+    """register_sampler extension point (reference REGISTER_OPERATOR,
+    docs/en/gl/developer/operator.md:49-104)."""
+    import jax.numpy as jnp
+    from graph_learn_tpu.ops.sampling import (STRATEGY_FNS, _gather,
+                                              register_sampler)
+    from graph_learn_tpu.ops.segment import row_bounds_csr
+
+    def first_k(csr, seeds, k, key):
+        start, _, deg = row_bounds_csr(csr, seeds)
+        ar = jnp.arange(k, dtype=jnp.int32)[None, :]
+        idx = jnp.minimum(ar, jnp.maximum(deg, 1)[:, None] - 1)
+        return _gather(csr, start[:, None] + idx, (deg > 0)[:, None],
+                       start=start)
+
+    if "first_k" not in STRATEGY_FNS:
+        register_sampler("first_k", first_k)
+    with pytest.raises(Exception):
+        register_sampler("random", first_k)  # no overriding built-ins
+
+    q = (g.V("item").batch(5).alias("s")
+         .outV("rel").sample(2).by("first_k").alias("h").values())
+    out = gl.Dataset(q, window=1).next()
+    assert out["h"].ids.shape == (5, 2)
+    # deterministic: first entries of the weight-desc adjacency == topk
+    q2 = (g.V("item").batch(5).alias("s")
+          .outV("rel").sample(2).by("topk").alias("h").values())
+    out2 = gl.Dataset(q2, window=1).next()
+    np.testing.assert_array_equal(np.asarray(out["h"].ids),
+                                  np.asarray(out2["h"].ids))
