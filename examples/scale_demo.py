@@ -71,35 +71,48 @@ def main():
     opt = optax.adam(1e-3)
     opt_state = opt.init(params)
 
+    # scanned multi-step (device-side seeds) — dispatch overhead through
+    # the tunnel (~5 ms) otherwise dominates per-step timing
+    K = 10
+
     @jax.jit
-    def step(params, opt_state, tables_, key):
-        ks, km, ksd = jax.random.split(key, 3)
-        seeds = jax.random.randint(ksd, (b,), 0, n)
-        batch = _execute(q, tables_, seeds, ks)
+    def multi_step(params, opt_state, tables_, key):
+        def one(carry, k):
+            p, o = carry
+            ks, km, ksd = jax.random.split(k, 3)
+            seeds = jax.random.randint(ksd, (b,), 0, n)
+            batch = _execute(q, tables_, seeds, ks)
 
-        def lf(p):
-            ego = EgoGraph.from_query_result(batch, "src", ["hop1", "hop2"])
-            logits = model.apply(p, ego, training=True, rngs={"dropout": km})
-            return supervised_softmax_loss(logits, batch["src"].labels)
+            def lf(pp):
+                ego = EgoGraph.from_query_result(batch, "src",
+                                                 ["hop1", "hop2"])
+                logits = model.apply(pp, ego, training=True,
+                                     rngs={"dropout": km})
+                return supervised_softmax_loss(logits, batch["src"].labels)
 
-        loss, grads = jax.value_and_grad(lf)(params)
-        upd, o2 = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, upd), o2, loss
+            loss, grads = jax.value_and_grad(lf)(p)
+            upd, o2 = opt.update(grads, o, p)
+            return (optax.apply_updates(p, upd), o2), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            one, (params, opt_state), jax.random.split(key, K))
+        return params, opt_state, losses[-1]
 
     k = jax.random.key(1)
     t0 = time.time()
     k, sub = jax.random.split(k)
-    params, opt_state, loss = step(params, opt_state, tables, sub)
+    params, opt_state, loss = multi_step(params, opt_state, tables, sub)
     _ = float(loss)  # true barrier: through the axon tunnel,
     # block_until_ready() returns at dispatch-ack, not completion
-    print("compile+first step %.1fs" % (time.time() - t0))
-    steps = 30
+    print("compile+first %d steps %.1fs" % (K, time.time() - t0))
+    rounds = 3
     t0 = time.time()
-    for i in range(steps):
+    for i in range(rounds):
         k, sub = jax.random.split(k)
-        params, opt_state, loss = step(params, opt_state, tables, sub)
+        params, opt_state, loss = multi_step(params, opt_state, tables, sub)
     _ = float(loss)  # true barrier
     dt = time.time() - t0
+    steps = rounds * K
     eps = b * (k1 + k1 * k2) * steps / dt
     print("scale demo: %.1f ms/step, %.1fM edges/s on %dM-edge graph"
           % (1000 * dt / steps, eps / 1e6, e // 1_000_000))
