@@ -17,6 +17,7 @@ from graph_learn_tpu.config import (conf, set_default_full_nbr_num,
                                     set_padding_mode, set_retry_times,
                                     set_seed, set_storage_device,
                                     set_tape_capacity, set_use_pallas)
+from graph_learn_tpu.core.filesystem import register_filesystem
 from graph_learn_tpu.core.schema import (Decoder, FeatureSpec, Mask,
                                          NodeFrom)
 from graph_learn_tpu.core.values import (Edges, Nodes, SparseEdges,
@@ -32,7 +33,8 @@ from graph_learn_tpu.ops.knn import KnnOption
 __version__ = "0.1.0"
 
 __all__ = [
-    "Graph", "Dataset", "Decoder", "FeatureSpec", "Mask", "NodeFrom", "conf",
+    "Graph", "Dataset", "Decoder", "FeatureSpec", "Mask", "NodeFrom",
+    "register_filesystem", "conf",
     "Nodes", "Edges", "SparseNodes", "SparseEdges", "SubGraphVal",
     "GLError", "OutOfRangeError", "InvalidArgumentError", "NotFoundError",
     "UnimplementedError",

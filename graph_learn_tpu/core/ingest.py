@@ -145,6 +145,8 @@ def _try_native_load(path: str, n_id_cols: int, decoder: Decoder):
 
 def load_node_table(path: str, decoder: Decoder) -> Dict[str, Optional[np.ndarray]]:
     """Parse a node TSV -> dict of numpy columns."""
+    from graph_learn_tpu.core.filesystem import resolve_path
+    path = resolve_path(path)
     native = _try_native_load(path, 1, decoder)
     if native is not None:
         return native
@@ -175,6 +177,8 @@ def load_node_table(path: str, decoder: Decoder) -> Dict[str, Optional[np.ndarra
 
 def load_edge_table(path: str, decoder: Decoder) -> Dict[str, Optional[np.ndarray]]:
     """Parse an edge TSV -> dict of numpy columns (raw src/dst ids)."""
+    from graph_learn_tpu.core.filesystem import resolve_path
+    path = resolve_path(path)
     native = _try_native_load(path, 2, decoder)
     if native is not None:
         return native

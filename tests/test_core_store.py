@@ -207,3 +207,30 @@ def test_bfs_reorder_preserves_semantics(tmp_graph_dir):
           .outV("rel").sample(8).by("topk").alias("h").values())
     out1 = gl.Dataset(q1, window=1).next()
     assert out1["h"].ids.shape == (4, 8)
+
+
+def test_filesystem_registry(tmp_graph_dir, tmp_path):
+    """Scheme-registered source filesystems (reference platform FS /
+    hadoop_file_system.cc dlopen'd HDFS -> fetch-to-local contract)."""
+    import graph_learn_tpu as gl
+    from graph_learn_tpu.errors import NotFoundError
+
+    calls = []
+
+    def fake_fetch(url):
+        calls.append(url)
+        return url.split("://", 1)[1]
+
+    gl.register_filesystem("fakefs", fake_fetch)
+    g = (gl.Graph()
+         .node("fakefs://" + tmp_graph_dir["node"], "item",
+               gl.Decoder(weighted=True, labeled=True,
+                          attr_types=["float"] * 4))
+         .edge("file://" + tmp_graph_dir["edge"], ("item", "item", "rel"),
+               gl.Decoder(weighted=True))).init()
+    assert calls == ["fakefs://" + tmp_graph_dir["node"]]
+    assert g.store.node_table("item").num_nodes == tmp_graph_dir["n"]
+    assert g.store.edge_table("rel").num_edges > 0
+
+    with pytest.raises(NotFoundError):
+        (gl.Graph().node("hdfs://nope/table", "x", gl.Decoder())).init()
