@@ -130,7 +130,8 @@ def reorder_store(store, strategy: str = "bfs") -> Dict[str, np.ndarray]:
             int_attrs=et.int_attrs, float_attrs=et.float_attrs,
             multival_attrs=et.multival_attrs, multival_lens=et.multival_lens,
             weights=et.weights, labels=et.labels,
-            timestamps=(et.timestamps + et.ts_base
+            timestamps=(et.timestamps.astype(np.int64) * et.ts_scale
+                        + et.ts_base
                         if et.timestamps is not None else None))
 
     for ns in store.node_sets.values():

@@ -362,8 +362,10 @@ class EdgeTable:
         self.timestamps = (None if timestamps is None
                            else np.asarray(timestamps, np.int64))
         # device arrays are int32 (x64 disabled); rebase timestamps so
-        # epoch-style values fit — ``ts_base`` restores absolute time
+        # epoch-style values fit — ``ts_base``/``ts_scale`` restore
+        # absolute time: abs = ts * ts_scale + ts_base
         self.ts_base = 0
+        self.ts_scale = 1
         if self.timestamps is not None and self.timestamps.size:
             self.ts_base = int(self.timestamps.min())
             self.timestamps = self.timestamps - self.ts_base
@@ -530,6 +532,10 @@ class GraphStore:
     def add_edge_table(self, table: EdgeTable):
         self.edges[table.type_name] = table
         self.topology[table.type_name] = (table.src_type, table.dst_type)
+        # derived V(edge, node_from=EDGE_SRC/EDGE_DST) seed sets are
+        # snapshots of this table's endpoints — rebuild on next use
+        for nm in ("ESRC*" + table.type_name, "EDST*" + table.type_name):
+            self.node_sets.pop(nm, None)
 
     def add_node_set(self, ns: NodeSet):
         self.node_sets[ns.type_name] = ns
@@ -556,3 +562,44 @@ class GraphStore:
             "nodes": {t: tb.num_nodes for t, tb in self.nodes.items()},
             "edges": {t: tb.num_edges for t, tb in self.edges.items()},
         }
+
+
+def unify_ts_bases(store: "GraphStore") -> None:
+    """Rebase every timestamped edge table to ONE global (base, scale).
+
+    Cross-type temporal traversal and TemporalGraph spans compare
+    timestamps across tables, so all tables must share a time domain.
+    Called after EVERY table (re)build — Graph.init, online updates, TTL
+    eviction — because EdgeTable.__init__ rebases to its own min.
+
+    Device arrays are int32: if the global span exceeds int31, all
+    timestamps are coarsened by the smallest power-of-10 scale that fits
+    (a loud warning is emitted; strict before-t comparisons then hold at
+    the coarsened resolution).
+    """
+    tables = [t for t in store.edges.values()
+              if t.timestamps is not None and t.timestamps.size]
+    if not tables:
+        return
+    lo = min(int(t.timestamps.min()) * t.ts_scale + t.ts_base
+             for t in tables)
+    hi = max(int(t.timestamps.max()) * t.ts_scale + t.ts_base
+             for t in tables)
+    span = hi - lo
+    scale = 1
+    while span // scale > 2**31 - 2:
+        scale *= 10
+    if scale > 1:
+        import warnings
+        warnings.warn(
+            "global timestamp span %d exceeds int32; coarsening device "
+            "timestamps by %dx (before-t sampling is exact at that "
+            "resolution)" % (span, scale))
+    for t in tables:
+        if t.ts_base == lo and t.ts_scale == scale:
+            continue
+        absolute = t.timestamps.astype(np.int64) * t.ts_scale + t.ts_base
+        t.timestamps = (absolute - lo) // scale
+        t.ts_base = lo
+        t.ts_scale = scale
+        t._device = None

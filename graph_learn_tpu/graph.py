@@ -140,15 +140,8 @@ class Graph:
         # to its own min at build; cross-type temporal traversal (e.g. TGAT
         # events from one table, neighbor hops over another) compares
         # timestamps across tables, so shift everything to the global base.
-        bases = [t.ts_base for t in self.store.edges.values()
-                 if t.timestamps is not None and t.timestamps.size]
-        if bases:
-            g0 = min(bases)
-            for t in self.store.edges.values():
-                if (t.timestamps is not None and t.timestamps.size
-                        and t.ts_base != g0):
-                    t.timestamps = t.timestamps + (t.ts_base - g0)
-                    t.ts_base = g0
+        from graph_learn_tpu.core.store import unify_ts_bases
+        unify_ts_bases(self.store)
         self._initialized = True
         return self
 

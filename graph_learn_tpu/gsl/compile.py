@@ -279,6 +279,18 @@ def _exec_hop(query: Query, tables, node: DagNode, parent: _Rec, recs, key):
         elif strategy == "topk":
             ids, eids = temporal_ops.temporal_topk_sample(csr, flat, k,
                                                           t_upper)
+        elif strategy in samp_ops.STRATEGY_FNS:
+            # user-registered strategy on a temporal path: the fn must
+            # opt in to the before-t bound (no silent temporal leakage)
+            import inspect
+            fn = samp_ops.STRATEGY_FNS[strategy]
+            if "t_upper" in inspect.signature(fn).parameters:
+                ids, eids = fn(csr, flat, k, key, t_upper=t_upper)
+            else:
+                raise InvalidArgumentError(
+                    "custom strategy %r does not accept t_upper and the "
+                    "seed path is temporal; add a t_upper kwarg to the "
+                    "registered sampler" % strategy)
         else:
             raise InvalidArgumentError("unknown strategy %r" % strategy)
     elif strategy == "random":
@@ -352,7 +364,12 @@ def _exec_neg(query: Query, tables, node: DagNode, parent: _Rec, recs, key):
     ids = ids.reshape(shape + (node.count,))
     val = lookup_nodes(tables["nodes"][result_type], ids,
                        type_name=result_type)
-    return _Rec(ids=ids, node_type=result_type, value=val)
+    # negatives inherit the seed's time: downstream hops from a negative
+    # tower stay bounded by the event (reference TGAT neg tower samples
+    # strictly-before-event neighbors, train_eval.py:58-78)
+    neg_ts = (jnp.broadcast_to(parent.ts[..., None], ids.shape)
+              if parent.ts is not None else None)
+    return _Rec(ids=ids, node_type=result_type, value=val, ts=neg_ts)
 
 
 def _exec_conditional_neg(query: Query, tables, node: DagNode, recs, flat,

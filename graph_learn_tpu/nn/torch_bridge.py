@@ -82,6 +82,8 @@ class TorchDataset(_TorchIterable):
         self._epochs = epochs
 
     def __iter__(self):
+        import jax
+
         for _ in range(self._epochs):
             ds = _GLDataset(self._query, window=self._window)
             while True:
@@ -89,6 +91,12 @@ class TorchDataset(_TorchIterable):
                     batch, count = ds.next_with_count()
                 except OutOfRangeError:
                     break
+                if count < ds.batch_size:
+                    # final partial batch: drop circularly-padded rows so
+                    # torch consumers never train on phantom samples
+                    batch = jax.tree.map(
+                        lambda x: x[:count] if hasattr(x, "ndim")
+                        and x.ndim >= 1 else x, batch)
                 if self._induce is not None:
                     yield self._induce(batch)
                 else:

@@ -136,6 +136,8 @@ def apply_updates(graph, buf: UpdateBuffer):
             weights=w, labels=_cat_edge_field(old, batches, "labels"),
             timestamps=ts)
         store.add_edge_table(new)
+    from graph_learn_tpu.core.store import unify_ts_bases
+    unify_ts_bases(store)
     buf.clear()
 
 
@@ -151,9 +153,9 @@ def _cat_field(old, batches, field):
 
 def _cat_edge_field(old, batches, field):
     raw = getattr(old, field)
-    # note: old edge ts are rebased; restore before concat
+    # note: old edge ts are rebased (+scaled); restore absolute first
     if field == "timestamps" and raw is not None:
-        raw = raw + old.ts_base
+        raw = raw.astype(np.int64) * old.ts_scale + old.ts_base
     out = raw
     n_old = old.num_edges
     for b in batches:
@@ -214,8 +216,19 @@ def expire_edges(graph, older_than, edge_types: Optional[List[str]] = None):
     """
     store = graph.store
     dropped: Dict[str, int] = {}
-    types = edge_types or [t for t, et in store.edges.items()
-                           if et.timestamps is not None]
+    if edge_types is None:
+        types = [t for t, et in store.edges.items()
+                 if et.timestamps is not None]
+    else:
+        # undirected bipartite types load a '<type>_reverse' twin
+        # (graph.py edge()); expire both or reverse hops keep serving
+        # the dropped edges
+        types = []
+        for t in edge_types:
+            types.append(t)
+            rev = t + "_reverse"
+            if rev in store.edges and rev not in edge_types:
+                types.append(rev)
     for t in types:
         old = store.edges.get(t)
         if old is None:
@@ -223,7 +236,8 @@ def expire_edges(graph, older_than, edge_types: Optional[List[str]] = None):
         if old.timestamps is None:
             raise InvalidArgumentError(
                 "edge type %r is not timestamped" % t)
-        keep = (old.timestamps + old.ts_base) >= int(older_than)
+        keep = (old.timestamps.astype(np.int64) * old.ts_scale
+                + old.ts_base) >= int(older_than)
         n_drop = int((~keep).sum())
         if n_drop == 0:
             dropped[t] = 0
@@ -241,7 +255,10 @@ def expire_edges(graph, older_than, edge_types: Optional[List[str]] = None):
             multival_attrs=sel(old.multival_attrs),
             multival_lens=sel(old.multival_lens),
             weights=sel(old.weights), labels=sel(old.labels),
-            timestamps=old.timestamps[keep] + old.ts_base)
+            timestamps=(old.timestamps[keep].astype(np.int64) * old.ts_scale
+                        + old.ts_base))
         store.add_edge_table(new)
         dropped[t] = n_drop
+    from graph_learn_tpu.core.store import unify_ts_bases
+    unify_ts_bases(graph.store)
     return dropped

@@ -80,6 +80,22 @@ def _nwin(csr: DeviceCSR) -> int:
     return 0
 
 
+def fetch_window(arr2d: jax.Array, base: jax.Array, nwin: int):
+    """Fetch per-seed windows of ``nwin`` consecutive tiled rows.
+
+    base: [b] tiled-row index of each seed's window start.  Returns
+    (win [b, nwin*128], lane_abs [b, nwin*128] absolute flat positions of
+    each window lane) — shared by value selects and in-row counting.
+    """
+    r = arr2d.shape[0]
+    parts = [arr2d[jnp.clip(base + i, 0, max(r - 1, 0))]
+             for i in range(nwin)]
+    win = jnp.concatenate(parts, axis=-1) if nwin > 1 else parts[0]
+    lane_abs = (base << 7)[:, None] + jnp.arange(win.shape[-1],
+                                                 dtype=jnp.int32)
+    return win, lane_abs
+
+
 def _window_select(arr2d: jax.Array, base: jax.Array, pos: jax.Array,
                    nwin: int) -> jax.Array:
     """Select arr[pos] from per-seed windows of ``nwin`` tiled rows.
@@ -87,11 +103,8 @@ def _window_select(arr2d: jax.Array, base: jax.Array, pos: jax.Array,
     base: [b] tiled-row index of each seed's window start; pos: [b, ...]
     absolute flat positions, all within the window.
     """
-    r = arr2d.shape[0]
     b = base.shape[0]
-    parts = [arr2d[jnp.clip(base + i, 0, max(r - 1, 0))]
-             for i in range(nwin)]
-    win = jnp.concatenate(parts, axis=-1) if nwin > 1 else parts[0]
+    win, _ = fetch_window(arr2d, base, nwin)
     w = win.shape[-1]
     extra = pos.ndim - 1
     rel = pos - (base << 7).reshape((b,) + (1,) * extra)
@@ -198,13 +211,7 @@ def weighted_sample(csr: DeviceCSR, seeds: jax.Array, k: int, key: jax.Array,
     if nwin:
         # window the whole per-row CDF and COUNT lanes below u — one
         # fetch replaces the log-d bisection probes entirely
-        base = start >> 7
-        r = cum2d.shape[0]
-        parts = [cum2d[jnp.clip(base + i, 0, max(r - 1, 0))]
-                 for i in range(nwin)]
-        win = jnp.concatenate(parts, axis=-1) if nwin > 1 else parts[0]
-        w = win.shape[-1]
-        lane_abs = (base << 7)[:, None] + jnp.arange(w, dtype=jnp.int32)
+        win, lane_abs = fetch_window(cum2d, start >> 7, nwin)
         in_row = (lane_abs >= start[:, None]) & (lane_abs < end[:, None])
         below = in_row[:, None, :] & (win[:, None, :] < u[..., None])
         pos = start[:, None] + jnp.sum(below, axis=-1).astype(jnp.int32)

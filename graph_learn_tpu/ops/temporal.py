@@ -33,17 +33,11 @@ def _cutoffs(csr: DeviceCSR, seeds: jax.Array, t_upper: jax.Array):
     if csr.ts_tiled is None:
         raise ValueError("edge type is not timestamped")
     start, end, _ = row_bounds_csr(csr, seeds)
-    from graph_learn_tpu.ops.sampling import _nwin
+    from graph_learn_tpu.ops.sampling import _nwin, fetch_window
     nwin = _nwin(csr)
     t = t_upper.astype(csr.ts_tiled.dtype)
     if nwin:
-        base = start >> 7
-        r = csr.ts_tiled.shape[0]
-        parts = [csr.ts_tiled[jnp.clip(base + i, 0, max(r - 1, 0))]
-                 for i in range(nwin)]
-        win = jnp.concatenate(parts, axis=-1) if nwin > 1 else parts[0]
-        w = win.shape[-1]
-        lane_abs = (base << 7)[:, None] + jnp.arange(w, dtype=jnp.int32)
+        win, lane_abs = fetch_window(csr.ts_tiled, start >> 7, nwin)
         in_row = (lane_abs >= start[..., None]) & (lane_abs < end[..., None])
         below = in_row & (win < t[..., None])
         hi = start + jnp.sum(below, axis=-1).astype(jnp.int32)

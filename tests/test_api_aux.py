@@ -109,3 +109,13 @@ def test_torch_bridge(g):
         return (batch["src"].ids.shape[0], batch["hop"].ids.shape)
     out = next(iter(torch_loader(q, window=1, induce_func=induce)))
     assert out == (8, (8, 3))
+
+
+def test_torch_bridge_trims_partial_batch(g):
+    """Final partial batch must not leak padded rows (review regression)."""
+    pytest.importorskip("torch")
+    from graph_learn_tpu.nn.torch_bridge import TorchDataset
+    # 40 nodes, batch 16 -> batches of 16, 16, 8
+    q = g.V("item").batch(16).alias("src").values()
+    sizes = [b["src"]["ids"].shape[0] for b in TorchDataset(q, window=1)]
+    assert sizes == [16, 16, 8]

@@ -118,7 +118,10 @@ def test_two_process_data_parallel(tmp_path):
     env_base.pop("JAX_PLATFORMS", None)
     env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     env_base["JAX_PLATFORMS"] = "cpu"
-    port = 29731
+    import socket
+    with socket.socket() as sk:
+        sk.bind(("127.0.0.1", 0))
+        port = sk.getsockname()[1]
     procs = []
     for pid in range(2):
         env = dict(env_base,

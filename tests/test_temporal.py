@@ -221,3 +221,104 @@ def test_time_encoder_shape():
     assert out.shape == (12, 6)
     # t=0 rows encode to cos(phase) -- all in [-1, 1]
     assert np.all(np.abs(np.asarray(out)) <= 1.0 + 1e-6)
+
+
+def test_ts_base_stays_unified_after_expire_and_update(temporal_bipartite):
+    """Rebuilds (TTL expire, online updates) must preserve the global
+    timestamp base (code-review regression)."""
+    from graph_learn_tpu.online.update import (UpdateBuffer, apply_updates,
+                                               expire_edges)
+    g = temporal_bipartite
+    expire_edges(g, older_than=5005, edge_types=["inter"])
+    bases = {t: tab.ts_base for t, tab in g.store.edges.items()
+             if tab.timestamps is not None}
+    assert len(set(bases.values())) == 1, bases
+    # reverse twin was expired with the forward table
+    assert g.store.edge_table("inter").num_edges == \
+        g.store.edge_table("inter_reverse").num_edges
+    buf = UpdateBuffer()
+    buf.add_edges("ev", src_ids=[0], dst_ids=[1], timestamps=[7000])
+    apply_updates(g, buf)
+    bases = {t: tab.ts_base for t, tab in g.store.edges.items()
+             if tab.timestamps is not None}
+    assert len(set(bases.values())) == 1, bases
+    # temporal causality still holds end-to-end after both rebuilds
+    q = (g.E("ev").batch(8).alias("event").outV().alias("src")
+         .outE("inter").sample(2).by("topk").alias("e1").values())
+    out = gl.Dataset(q, window=1).next()
+    ev_ts = np.asarray(out["event"].timestamps)
+    e1 = np.asarray(out["e1"].timestamps)
+    m = np.asarray(out["e1"].edge_ids) >= 0
+    assert np.all(e1[m] < np.broadcast_to(ev_ts[:, None], e1.shape)[m])
+
+
+def test_ts_overflow_coarsens_with_warning(tmp_path):
+    """Global spans beyond int32 coarsen device timestamps (loudly)."""
+    import warnings
+    d = str(tmp_path)
+    with open(d + "/n", "w") as f:
+        f.write("id:int64\n")
+        for i in range(4):
+            f.write("%d\n" % i)
+    with open(d + "/e", "w") as f:
+        f.write("src_id:int64\tdst_id:int64\ttimestamp:int64\n")
+        # ms-epoch-ish stamps spanning ~80 days > 2^31 ms
+        for i in range(4):
+            f.write("%d\t%d\t%d\n" % (i, (i + 1) % 4,
+                                      1_600_000_000_000 + i * 2_000_000_000))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        g = (gl.Graph().node(d + "/n", "v", gl.Decoder())
+             .edge(d + "/e", ("v", "v", "e"),
+                   gl.Decoder(timestamped=True))).init()
+        assert any("coarsening" in str(x.message) for x in w)
+    et = g.store.edge_table("e")
+    assert et.ts_scale > 1
+    assert int(et.timestamps.max()) < 2**31
+    # absolute time reconstructable at the coarsened resolution
+    approx = et.timestamps.astype(np.int64) * et.ts_scale + et.ts_base
+    assert abs(int(approx[0]) - 1_600_000_000_000) < et.ts_scale
+
+
+def test_neg_tower_inherits_event_time(temporal_bipartite):
+    """Negatives carry the seed's timestamp so their hops are bounded by
+    the event (code-review regression: TGAT neg-tower leakage)."""
+    g = temporal_bipartite
+    q = (g.E("ev").batch(8).alias("event").outV().alias("src")
+         .outNeg("inter").sample(1).by("random").alias("neg")
+         .outE("inter_reverse").sample(2).by("topk").alias("nege")
+         .values())
+    out = gl.Dataset(q, window=1).next()
+    ev_ts = np.asarray(out["event"].timestamps)
+    nege = np.asarray(out["nege"].timestamps)  # [b, 1, 2]
+    m = np.asarray(out["nege"].edge_ids) >= 0
+    bound = np.broadcast_to(ev_ts[:, None, None], nege.shape)
+    assert np.all(nege[m] < bound[m])
+
+
+def test_custom_sampler_temporal_guard(temporal_bipartite):
+    """Custom strategies must opt in to t_upper on temporal paths."""
+    import jax.numpy as jnp
+    from graph_learn_tpu.errors import InvalidArgumentError
+    from graph_learn_tpu.ops.sampling import STRATEGY_FNS, register_sampler
+    from graph_learn_tpu.ops.temporal import temporal_topk_sample
+
+    def no_t(csr, seeds, k, key):
+        raise AssertionError("should not be called on temporal path")
+
+    def with_t(csr, seeds, k, key, t_upper=None):
+        return temporal_topk_sample(csr, seeds, k, t_upper)
+
+    if "no_t" not in STRATEGY_FNS:
+        register_sampler("no_t", no_t)
+    if "with_t" not in STRATEGY_FNS:
+        register_sampler("with_t", with_t)
+    g = temporal_bipartite
+    q = (g.E("ev").batch(4).alias("event").outV().alias("src")
+         .outE("inter").sample(2).by("no_t").alias("e1").values())
+    with pytest.raises(InvalidArgumentError):
+        gl.Dataset(q, window=1).next()
+    q2 = (g.E("ev").batch(4).alias("event").outV().alias("src")
+          .outE("inter").sample(2).by("with_t").alias("e1").values())
+    out = gl.Dataset(q2, window=1).next()
+    assert out["e1"].edge_ids.shape == (4, 2)
