@@ -29,12 +29,13 @@ from graph_learn_tpu.graph import Graph
 from graph_learn_tpu.gsl.dataset import Dataset
 from graph_learn_tpu import sampler_api as _sampler_api  # attaches g.*_sampler
 from graph_learn_tpu.ops.knn import KnnOption
+from graph_learn_tpu.ops.sampling import register_sampler
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Graph", "Dataset", "Decoder", "FeatureSpec", "Mask", "NodeFrom",
-    "register_filesystem", "conf",
+    "register_filesystem", "register_sampler", "KnnOption", "conf",
     "Nodes", "Edges", "SparseNodes", "SparseEdges", "SubGraphVal",
     "GLError", "OutOfRangeError", "InvalidArgumentError", "NotFoundError",
     "UnimplementedError",
