@@ -31,7 +31,7 @@ CFG = dict(
     batch=256 if SMALL else 1024,
     fanout=(15, 10),
     classes=32,
-    steps=20 if SMALL else 60,
+    steps=20 if SMALL else 120,
     warmup=2,
     scan_steps=10 if SMALL else 30,
 )
