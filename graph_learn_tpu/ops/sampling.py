@@ -201,6 +201,10 @@ def topk_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
 def weighted_sample(csr: DeviceCSR, seeds: jax.Array, k: int, key: jax.Array,
                     by: str = "edge_weight"):
     """Inverse-CDF weighted sampling (edge_weight or in_degree strategy)."""
+    if csr.n_edges == 0:
+        # empty adjacency: every seed gets the default fill (parity with
+        # res->FillWith on degree-0 rows)
+        return topk_sample(csr, seeds, k)
     cum2d = csr.cumw_tiled if by == "edge_weight" else csr.cumind_tiled
     if cum2d is None:
         raise ValueError(
