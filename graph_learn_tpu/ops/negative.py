@@ -30,9 +30,7 @@ import jax.numpy as jnp
 
 from graph_learn_tpu.config import conf
 from graph_learn_tpu.core.store import DeviceEdgeTable, DeviceNodeTable
-from graph_learn_tpu.ops.segment import (row_bounds,
-                                         row_bounds_csr,
-                                         segment_member)
+from graph_learn_tpu.ops.segment import row_bounds_csr, segment_member
 
 
 def _draw_uniform_ids(cand_ids: jax.Array, key: jax.Array, shape):

@@ -37,9 +37,7 @@ import numpy as np
 
 from graph_learn_tpu.config import conf
 from graph_learn_tpu.core.store import DeviceCSR
-from graph_learn_tpu.ops.segment import (flat_gather, pair_gather,
-                                         row_bounds, row_bounds_csr,
-                                         segment_member,
+from graph_learn_tpu.ops.segment import (flat_gather, row_bounds_csr,
                                          segmented_searchsorted)
 
 

@@ -23,8 +23,7 @@ import jax.numpy as jnp
 from graph_learn_tpu.config import conf
 from graph_learn_tpu.core.store import DeviceCSR
 from graph_learn_tpu.ops.sampling import _gather
-from graph_learn_tpu.ops.segment import (row_bounds,
-                                         row_bounds_csr,
+from graph_learn_tpu.ops.segment import (row_bounds_csr,
                                          segmented_searchsorted)
 
 

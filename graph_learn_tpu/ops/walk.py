@@ -23,8 +23,7 @@ import jax.numpy as jnp
 
 from graph_learn_tpu.config import conf
 from graph_learn_tpu.core.store import DeviceCSR
-from graph_learn_tpu.ops.segment import (flat_gather, pair_gather,
-                                         row_bounds, row_bounds_csr,
+from graph_learn_tpu.ops.segment import (flat_gather, row_bounds_csr,
                                          segment_member)
 
 
