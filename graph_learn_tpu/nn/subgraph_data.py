@@ -12,7 +12,7 @@ global node i*N_cap + j.  Validity masks carry raggedness.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -158,3 +158,82 @@ class BatchGraph:
                                     num_segments=self.num_samples)
             return jnp.where(jnp.isfinite(m), m, 0.0)
         raise ValueError(op)
+
+
+@struct.dataclass
+class HeteroBatchGraph:
+    """B per-sample HETERO subgraphs merged into disjoint typed graphs.
+
+    Parity with the reference HeteroBatchGraph
+    (reference: graphlearn/python/nn/tf/data/hetero_batchgraph.py:33-120 —
+    per-type concatenation with per-sample offset records).  Shape-static
+    translation: each node type t has a fixed per-sample slot count
+    N_cap[t], so sample i's local node j of type t is global slot
+    i*N_cap[t]+j; per-edge-type edge_index is rebased into the src/dst
+    types' slot spaces.  Feeds nn.layers.sub.HeteroConv directly.
+    """
+
+    edge_index: Dict[str, jax.Array]  # et -> [2, B*E_cap_et] (src;dst rows)
+    edge_mask: Dict[str, jax.Array]  # et -> [B*E_cap_et] bool
+    nodes: Dict[str, Nodes]  # t -> payload for all slots [B*N_cap_t, ...]
+    node_mask: Dict[str, jax.Array]  # t -> [B*N_cap_t] bool
+    graph_ids: Dict[str, jax.Array]  # t -> [B*N_cap_t] sample index
+    num_samples: int = struct.field(pytree_node=False, default=0)
+    node_cap: Dict[str, int] = struct.field(pytree_node=False,
+                                            default_factory=dict)
+    topology: Dict[str, tuple] = struct.field(pytree_node=False,
+                                              default_factory=dict)
+
+    @classmethod
+    def from_samples(cls, nodes_dict, node_masks, edge_index_dict,
+                     edge_masks, topology) -> "HeteroBatchGraph":
+        """Batch per-sample typed node slots + local edge indices.
+
+        nodes_dict[t]: Nodes with arrays shaped [B, N_cap_t, ...];
+        node_masks[t]: [B, N_cap_t] bool; edge_index_dict[et]:
+        [B, 2, E_cap] LOCAL (per-sample, per-type) indices —
+        row 0 indexes the src type's slots, row 1 the dst type's;
+        topology[et] = (src_type, dst_type).
+        """
+        b = next(iter(node_masks.values())).shape[0]
+        caps = {t: m.shape[1] for t, m in node_masks.items()}
+        nodes, nmask, gids = {}, {}, {}
+        for t, nv in nodes_dict.items():
+            n_cap = caps[t]
+            nodes[t] = jax.tree.map(
+                lambda x: x.reshape((b * n_cap,) + x.shape[2:]), nv)
+            nmask[t] = node_masks[t].reshape(-1)
+            gids[t] = jnp.broadcast_to(
+                jnp.arange(b, dtype=jnp.int32)[:, None],
+                (b, n_cap)).reshape(-1)
+        ei, em = {}, {}
+        for et, local in edge_index_dict.items():
+            s_t, d_t = topology[et]
+            offs_s = (jnp.arange(b, dtype=jnp.int32) * caps[s_t])[:, None]
+            offs_d = (jnp.arange(b, dtype=jnp.int32) * caps[d_t])[:, None]
+            src = (local[:, 0, :] + offs_s).reshape(-1)
+            dst = (local[:, 1, :] + offs_d).reshape(-1)
+            ei[et] = jnp.stack([src, dst], axis=0)
+            em[et] = edge_masks[et].reshape(-1)
+        return cls(edge_index=ei, edge_mask=em, nodes=nodes,
+                   node_mask=nmask, graph_ids=gids, num_samples=b,
+                   node_cap=dict(caps), topology=dict(topology))
+
+    def anchor(self, h: jax.Array, node_type: str, slot: int) -> jax.Array:
+        """Embedding of per-sample slot ``slot`` of a type -> [B, d]."""
+        idx = jnp.arange(self.num_samples, dtype=jnp.int32) \
+            * self.node_cap[node_type] + slot
+        return h[idx]
+
+    def readout(self, h: jax.Array, node_type: str,
+                op: str = "mean") -> jax.Array:
+        """Per-sample pooling of one type's node embeddings -> [B, d]."""
+        m = self.node_mask[node_type]
+        g = self.graph_ids[node_type]
+        hm = jnp.where(m[:, None], h, 0.0)
+        s = jax.ops.segment_sum(hm, g, num_segments=self.num_samples)
+        if op == "sum":
+            return s
+        cnt = jax.ops.segment_sum(m.astype(h.dtype), g,
+                                  num_segments=self.num_samples)
+        return s / jnp.maximum(cnt, 1.0)[:, None]

@@ -178,3 +178,67 @@ def test_edge_star_inducer():
     fa = np.asarray(bg.nodes.float_attrs).reshape(b, n_cap, d)
     assert np.all(fa[:, 0] == 1.0) and np.all(fa[:, 1] == 2.0)
     assert np.all(fa[:, 2:2 + ks] == 3.0) and np.all(fa[:, 2 + ks:] == 4.0)
+
+
+def test_hetero_batchgraph_with_heteroconv(tmp_path):
+    """HeteroBatchGraph (hetero_batchgraph.py:33-120 parity) feeding
+    HeteroConv over a u2i bipartite star batch."""
+    import graph_learn_tpu as gl
+    from graph_learn_tpu.nn.subgraph_data import HeteroBatchGraph
+
+    d = tmp_path
+    with open(d / "u", "w") as f:
+        f.write("id:int64\tfeature:string\n")
+        for i in range(12):
+            f.write("%d\t%.1f:%.1f\n" % (i, i, i + 1))
+    with open(d / "i", "w") as f:
+        f.write("id:int64\tfeature:string\n")
+        for i in range(8):
+            f.write("%d\t%.1f:%.1f:%.1f\n" % (i, 2 * i, i, 1))
+    with open(d / "e", "w") as f:
+        f.write("src_id:int64\tdst_id:int64\n")
+        for u in range(12):
+            for j in range(3):
+                f.write("%d\t%d\n" % (u, (u + j) % 8))
+    g = (gl.Graph()
+         .node(str(d / "u"), "u", gl.Decoder(attr_types=["float"] * 2))
+         .node(str(d / "i"), "i", gl.Decoder(attr_types=["float"] * 3))
+         .edge(str(d / "e"), ("u", "i", "buy"), gl.Decoder())).init()
+
+    b, k = 4, 3
+    q = (g.V("u").batch(b).alias("u")
+         .outV("buy").sample(k).by("random").alias("items").values())
+    out = gl.Dataset(q, window=1).next()
+    uv, iv = out["u"], out["items"]
+
+    # per-sample hetero graph: 1 'u' slot + k 'i' slots, edges u->i
+    nodes_dict = {
+        "u": jax.tree.map(lambda x: x.reshape((b, 1) + x.shape[1:]), uv),
+        "i": iv,  # already [b, k, ...]
+    }
+    node_masks = {"u": jnp.ones((b, 1), bool), "i": jnp.ones((b, k), bool)}
+    local = jnp.stack([jnp.zeros((b, k), jnp.int32),
+                       jnp.broadcast_to(jnp.arange(k, dtype=jnp.int32),
+                                        (b, k))], axis=1)  # [b, 2, k]
+    hbg = HeteroBatchGraph.from_samples(
+        nodes_dict, node_masks, {"buy": local},
+        {"buy": jnp.ones((b, k), bool)}, {"buy": ("u", "i")})
+
+    assert hbg.edge_index["buy"].shape == (2, b * k)
+    # every edge's src is a u-slot of the same sample as its dst i-slot
+    ei = np.asarray(hbg.edge_index["buy"])
+    assert np.all(ei[0] // 1 == np.asarray(hbg.graph_ids["i"])[ei[1]])
+
+    # run a HeteroConv stack over it
+    from graph_learn_tpu.nn.layers.sub import HeteroConv, SAGEConv
+    conv = HeteroConv(convs={"buy": SAGEConv(in_dim=(2, 3), out_dim=4)})
+    x = {"u": hbg.nodes["u"].float_attrs, "i": hbg.nodes["i"].float_attrs}
+    params = conv.init(jax.random.key(0), hbg.edge_index, x, hbg.topology,
+                       hbg.edge_mask)
+    h = conv.apply(params, hbg.edge_index, x, hbg.topology, hbg.edge_mask)
+    assert h["i"].shape == (b * k, 4)
+    # per-sample readout of item embeddings
+    pooled = hbg.readout(h["i"], "i")
+    assert pooled.shape == (b, 4)
+    # anchor: sample's u slot 0
+    assert hbg.anchor(x["u"], "u", 0).shape == (b, 2)
