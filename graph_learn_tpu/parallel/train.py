@@ -48,3 +48,67 @@ def make_sharded_train_step(query: Query, model, loss_fn: Callable,
         return params2, opt_state2, loss
 
     return step
+
+
+class DistTrainer:
+    """Epoch-loop trainer over the sharded step (reference DistTrainer,
+    examples/tf/trainer.py:327-371 — but synchronous SPMD: no PS, no
+    async optimizer, no worker barrier; the mesh IS the cluster).
+
+    Same call shape as nn.trainer.LocalTrainer.train; seeds stream from
+    the query's source traversal and are placed with P('data') sharding
+    each step.  Works on a single-process multi-device mesh directly; in
+    multi-process settings each process feeds its addressable shard (see
+    tests/test_multiprocess.py for the make_array_from_single_device_
+    arrays pattern).
+    """
+
+    def __init__(self, mesh: Mesh, seed: int = 0):
+        self.mesh = mesh
+        self.seed = seed
+
+    def train(self, query: Query, model, params, loss_fn: Callable,
+              optimizer: optax.GradientTransformation, tables=None,
+              epochs: int = 1, steps_per_epoch=None, verbose: bool = True):
+        import numpy as np
+
+        from graph_learn_tpu.core.traversal import Traverser
+        from graph_learn_tpu.errors import OutOfRangeError
+
+        seed_sh = NamedSharding(self.mesh, P("data"))
+        if tables is None:
+            from graph_learn_tpu.parallel.mesh import shard_tables
+            tables = shard_tables(query.device_tables(), self.mesh)
+        step = make_sharded_train_step(query, model, loss_fn, optimizer,
+                                       self.mesh)
+        opt_state = optimizer.init(params)
+        size, space = query.source_space()
+        trav = Traverser(size, query.dag.batch_size,
+                         strategy=query.source.strategy, seed=self.seed)
+        idx = (query.graph.store.node_set(query.source.node_type).indices
+               if space == "node" else None)
+        if trav.strategy == "random" and steps_per_epoch is None:
+            raise ValueError("a 'random' (shuffle()) source never exhausts "
+                             "an epoch; pass steps_per_epoch")
+        key = jax.random.key(self.seed)
+        history = []
+        for epoch in range(epochs):
+            losses, ep = [], 0
+            while steps_per_epoch is None or ep < steps_per_epoch:
+                try:
+                    pos, _ = trav.next()
+                except OutOfRangeError:
+                    break
+                ep += 1
+                seeds = np.asarray(idx[pos] if idx is not None else pos,
+                                   np.int32)
+                seeds = jax.device_put(jnp.asarray(seeds), seed_sh)
+                key, sub = jax.random.split(key)
+                params, opt_state, loss = step(params, opt_state, tables,
+                                               seeds, sub)
+                losses.append(loss)
+            mean = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+            history.append(mean)
+            if verbose:
+                print("epoch %d loss %.4f" % (epoch, mean))
+        return params, history

@@ -98,3 +98,47 @@ def test_sharded_matches_single_device(sharded_setup):
     with mesh:
         _, _, l_sh = step(p_sh, opt_state, tables, seeds, jax.random.key(1))
     np.testing.assert_allclose(float(l_sh), l_local, rtol=1e-4)
+
+
+def test_dist_trainer(tmp_graph_dir):
+    """DistTrainer epoch loop over the 8-device mesh (reference
+    DistTrainer parity, synchronous SPMD)."""
+    import optax
+
+    import graph_learn_tpu as gl
+    from graph_learn_tpu.nn.data import EgoGraph
+    from graph_learn_tpu.nn.loss import supervised_softmax_loss
+    from graph_learn_tpu.nn.models.ego_gnn import EgoGraphSAGE
+    from graph_learn_tpu.parallel.mesh import make_mesh
+    from graph_learn_tpu.parallel.train import DistTrainer
+
+    g = gl.Graph()
+    g.node(tmp_graph_dir["node"], node_type="item",
+           decoder=gl.Decoder(weighted=True, labeled=True,
+                              attr_types=["float"] * 4))
+    g.edge(tmp_graph_dir["edge"], edge_type=("item", "item", "rel"),
+           decoder=gl.Decoder(weighted=True))
+    g = g.init()
+
+    q = (g.V("item").batch(16).alias("src")
+         .outV("rel").sample(3).by("random").alias("h1").values())
+    dec = gl.Decoder(weighted=True, labeled=True, attr_types=["float"] * 4)
+    model = EgoGraphSAGE([4, 5], dec, agg_type="mean")
+
+    ds = gl.Dataset(q, window=1)
+    b0 = ds.next()
+    ego0 = EgoGraph.from_query_result(b0, "src", ["h1"])
+    params = model.init(jax.random.key(0), ego0, training=False)
+
+    def loss_fn(model, p, batch, rng, training):
+        ego = EgoGraph.from_query_result(batch, "src", ["h1"])
+        logits = model.apply(p, ego, training=training,
+                             rngs={"dropout": rng})
+        return supervised_softmax_loss(logits, batch["src"].labels)
+
+    mesh = make_mesh(n_data=8, n_graph=1)
+    trainer = DistTrainer(mesh)
+    params2, hist = trainer.train(q, model, params, loss_fn,
+                                  optax.sgd(0.1), epochs=2, verbose=False)
+    assert len(hist) == 2
+    assert np.isfinite(hist[0]) and hist[1] <= hist[0] + 0.5
