@@ -272,9 +272,14 @@ def _exec_hop(query: Query, tables, node: DagNode, parent: _Rec, recs, key):
                     ts=new_ts)
 
     if t_upper is not None:
-        if strategy in ("random", "edge_weight", "in_degree",
-                        "random_without_replacement"):
+        if strategy == "random":
             ids, eids = temporal_ops.temporal_uniform_sample(
+                csr, flat, k, key, t_upper)
+        elif strategy in ("edge_weight", "in_degree"):
+            ids, eids = temporal_ops.temporal_weighted_sample(
+                csr, flat, k, key, t_upper, by=strategy)
+        elif strategy == "random_without_replacement":
+            ids, eids = temporal_ops.temporal_without_replacement_sample(
                 csr, flat, k, key, t_upper)
         elif strategy == "topk":
             ids, eids = temporal_ops.temporal_topk_sample(csr, flat, k,

@@ -227,26 +227,23 @@ def weighted_sample(csr: DeviceCSR, seeds: jax.Array, k: int, key: jax.Array,
     return _gather(csr, pos, valid, start=start)
 
 
-def without_replacement_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
-                               key: jax.Array):
-    """Uniform without replacement via per-seed Gumbel top-k over a window.
+def wor_positions(start: jax.Array, deg: jax.Array, k: int,
+                  key: jax.Array) -> jax.Array:
+    """Exact uniform-without-replacement flat positions within CSR rows.
 
-    Exact when degree <= window (window = max(k, 2k) capped); the reference
-    uses sequential rejection (random_without_replacement_sampler.cc:27).
+    ``start``/``deg`` define each seed's admissible window
+    [start, start+deg) — the full row for plain sampling, the before-t
+    prefix for temporal sampling (ops/temporal.py).
+
+    Implementation ("virtual Fisher-Yates"): draw the j-th sample uniformly
+    from [0, deg - j) over the *remaining* index space tracked implicitly
+    via up to k recorded (index -> replacement) swaps.  Exact for any
+    degree; with k small (fanouts <= 32) the k-step lax.scan is cheap.
+    The reference uses sequential rejection
+    (random_without_replacement_sampler.cc:27).
     For degree <= k all neighbors are returned then padded (parity).
-
-    Implementation: rank k smallest of `hash(key, position)` within the row
-    using Floyd-like iterative selection — k iterations of masked argmin
-    over a fixed window of the row.  To stay shape-static we draw distinct
-    positions with the sort-of-random-keys trick over a window of size
-    W = next_pow2(max degree seen is unknown) — instead we use the
-    sequential swap-free approach below which is exact for any degree:
-    draw j-th sample uniformly from [0, deg - j) over the *remaining*
-    index space tracked implicitly via the "virtual Fisher-Yates" hash map
-    trick.  With k small (fanouts <= 32) the k-step lax.scan is cheap.
     """
-    b = seeds.shape[0]
-    start, _, deg = row_bounds_csr(csr, seeds)
+    b = start.shape[0]
     degm = jnp.maximum(deg, 1)
 
     # Virtual Fisher-Yates: maintain up to k (index -> replacement) pairs.
@@ -288,7 +285,14 @@ def without_replacement_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
     # neighbors), then circular padding
     take_all = ar % degm[:, None]
     idx = jnp.where(deg[:, None] > k, drawn, take_all)
-    pos = start[:, None] + idx
+    return start[:, None] + idx
+
+
+def without_replacement_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
+                               key: jax.Array):
+    """Uniform without replacement over each seed's full row."""
+    start, _, deg = row_bounds_csr(csr, seeds)
+    pos = wor_positions(start, deg, k, key)
     valid = (deg > 0)[:, None]
     return _gather(csr, pos, valid, start=start)
 

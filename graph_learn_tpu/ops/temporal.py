@@ -59,6 +59,59 @@ def temporal_uniform_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
     return _gather(csr, pos, (deg > 0)[:, None], start=start)
 
 
+def temporal_weighted_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
+                             key: jax.Array, t_upper: jax.Array,
+                             by: str = "edge_weight"):
+    """Weight-proportional draws restricted to edges with ts < t_upper[i].
+
+    Composes the before-t prefix with the inverse-CDF weighted draw — the
+    device analogue of the reference's Filter(ts LARGER_THAN) applied
+    inside EdgeWeightSampler/InDegreeSampler (sampler/filter.h +
+    edge_weight_sampler.cc:89-105, in_degree_sampler.cc:27).  The per-row
+    CDF is cumulative over the whole (ts-ascending) row, so conditioning
+    on the prefix [start, hi) is one extra gather: draw u' uniform in
+    (0, cdf[hi-1]] and bisect left — P(j) = w_j / W_prefix exactly.
+    """
+    cum2d = csr.cumw_tiled if by == "edge_weight" else csr.cumind_tiled
+    if cum2d is None:
+        raise ValueError(
+            "CSR has no %s CDF table (source not weighted?)" % by)
+    start, hi, deg = _cutoffs(csr, seeds, t_upper)
+    u = jax.random.uniform(key, seeds.shape + (k,))
+    from graph_learn_tpu.ops.sampling import _nwin, fetch_window
+    nwin = _nwin(csr)
+    if nwin:
+        win, lane_abs = fetch_window(cum2d, start >> 7, nwin)
+        in_prefix = ((lane_abs >= start[:, None]) &
+                     (lane_abs < hi[:, None]))
+        # cdf value at hi-1 == max over the (ascending) prefix lanes
+        c_hi = jnp.max(jnp.where(in_prefix, win, 0.0), axis=-1)
+        below = in_prefix[:, None, :] & (win[:, None, :] <
+                                         (u * c_hi[:, None])[..., None])
+        pos = start[:, None] + jnp.sum(below, axis=-1).astype(jnp.int32)
+    else:
+        from graph_learn_tpu.ops.segment import (_bisect_iters, flat_gather,
+                                                 segmented_searchsorted)
+        c_hi = flat_gather(cum2d, jnp.clip(hi - 1, 0,
+                                           max(csr.n_edges - 1, 0)))
+        c_hi = jnp.where(deg > 0, c_hi, 0.0)
+        pos = segmented_searchsorted(
+            None, start[:, None], hi[:, None], u * c_hi[:, None],
+            side="left", vals2d=cum2d, iters=_bisect_iters(csr.max_degree))
+    pos = jnp.minimum(pos, jnp.maximum(hi, 1)[:, None] - 1)
+    return _gather(csr, pos, (deg > 0)[:, None], start=start)
+
+
+def temporal_without_replacement_sample(csr: DeviceCSR, seeds: jax.Array,
+                                        k: int, key: jax.Array,
+                                        t_upper: jax.Array):
+    """Uniform without replacement among edges with ts < t_upper[i]."""
+    from graph_learn_tpu.ops.sampling import wor_positions
+    start, hi, deg = _cutoffs(csr, seeds, t_upper)
+    pos = wor_positions(start, deg, k, key)
+    return _gather(csr, pos, (deg > 0)[:, None], start=start)
+
+
 def temporal_topk_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
                          t_upper: jax.Array):
     """The k MOST RECENT edges before t (TGN-style recency neighborhood)."""
