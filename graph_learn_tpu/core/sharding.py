@@ -1,0 +1,183 @@
+"""Device-side views of a graph store sharded over the mesh "graph" axis.
+
+TPU-native replacement for the reference's distributed graph store — the
+hash partitioner + request fan-out/stitch machinery
+(reference: core/partition/hash_partitioner.h:90-92 hash(id) % servers,
+core/runner/op_runner.h:60-152 DistributeRunner partition/parallel
+Process+Call/stitch, include/shardable.h:27-100 stickers): node rows are
+range-partitioned over the mesh's "graph" axis; every per-seed operator
+(samplers, lookups, membership checks) runs as masked local compute on the
+owning shard followed by ONE ``psum`` over the axis.  The psum IS the
+stitch: non-owners contribute exact zeros, so the summed result equals the
+owner's answer, in original seed order, with zero dynamic shapes and no
+serialization boundary — executed inside ``shard_map`` over the same mesh
+that runs the training step.
+
+Per-device HBM holds only 1/P of the CSR + payload tables (small candidate
+pools and CDF id arrays stay replicated — O(4-8 B/row) against the
+O(hundreds B/row) feature payloads), so graph size scales with the number
+of devices like the reference's graph size scales with server count.
+
+Host-side construction lives in parallel/sharded_store.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from graph_learn_tpu.core.store import DeviceCSR, DeviceNodeTable
+
+GRAPH_AXIS = "graph"
+
+
+@struct.dataclass
+class ShardedCSR:
+    """One direction of adjacency, rows range-partitioned over ``axis``.
+
+    ``local`` is this shard's rows re-indexed to [0, rows_per_shard) with
+    GLOBAL neighbor ids and GLOBAL edge ids (so results need no rebasing).
+    All static fields (n_edges padded, max_degree) are the GLOBAL values so
+    every shard traces the identical program.
+    """
+
+    local: DeviceCSR
+    rows_per_shard: int = struct.field(pytree_node=False, default=0)
+    axis: str = struct.field(pytree_node=False, default=GRAPH_AXIS)
+
+    # conveniences used by the plan compiler's presence checks
+    @property
+    def nbr_ts(self):
+        return self.local.nbr_ts
+
+    @property
+    def ts_tiled(self):
+        return self.local.ts_tiled
+
+    @property
+    def max_degree(self):
+        return self.local.max_degree
+
+
+@struct.dataclass
+class ShardedNodeTable:
+    """Node payload rows range-partitioned over ``axis``.
+
+    ``cum_weights`` (the global node-weight CDF for node_weight negative
+    sampling) stays replicated: 4 B/row vs the payload's hundreds.
+    """
+
+    local: DeviceNodeTable
+    cum_weights: Optional[jax.Array] = None  # replicated global CDF
+    rows_per_shard: int = struct.field(pytree_node=False, default=0)
+    num_nodes_global: int = struct.field(pytree_node=False, default=0)
+    axis: str = struct.field(pytree_node=False, default=GRAPH_AXIS)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.num_nodes_global
+
+
+@struct.dataclass
+class ShardedEdgeTable:
+    """Per-edge-type topology + payload, sharded over ``axis``.
+
+    - ``out``/``inc`` CSRs are row-partitioned by src/dst owner.
+    - ``src``/``dst``/payload arrays are partitioned in edge-row blocks.
+    - negative-sampling candidate pools + CDFs are replicated (id-sized).
+    """
+
+    out: ShardedCSR
+    src: jax.Array  # [edges_per_shard] local block
+    dst: jax.Array
+    inc: Optional[ShardedCSR] = None
+    int_attrs: Optional[jax.Array] = None
+    float_attrs: Optional[jax.Array] = None
+    multival_attrs: Optional[jax.Array] = None
+    multival_lens: Optional[jax.Array] = None
+    weights: Optional[jax.Array] = None
+    labels: Optional[jax.Array] = None
+    timestamps: Optional[jax.Array] = None
+    unique_dst: Optional[jax.Array] = None  # replicated
+    unique_dst_indeg_cdf: Optional[jax.Array] = None
+    unique_src: Optional[jax.Array] = None
+    unique_src_outdeg_cdf: Optional[jax.Array] = None
+    edges_per_shard: int = struct.field(pytree_node=False, default=0)
+    num_edges_global: int = struct.field(pytree_node=False, default=0)
+    axis: str = struct.field(pytree_node=False, default=GRAPH_AXIS)
+
+    @property
+    def num_edges(self) -> int:
+        return self.num_edges_global
+
+
+def is_sharded(x) -> bool:
+    return isinstance(x, (ShardedCSR, ShardedNodeTable, ShardedEdgeTable))
+
+
+def own_rows(rows_per_shard: int, axis: str, ids: jax.Array):
+    """(local_index, owned_mask) of global row ids under range partition."""
+    lo = jax.lax.axis_index(axis) * rows_per_shard
+    loc = ids - lo
+    own = (loc >= 0) & (loc < rows_per_shard)
+    return jnp.clip(loc, 0, rows_per_shard - 1).astype(jnp.int32), own
+
+
+def psum_owned(x: jax.Array, own: jax.Array, axis: str) -> jax.Array:
+    """Zero non-owned entries and sum over the graph axis (the "stitch")."""
+    m = own.reshape(own.shape + (1,) * (x.ndim - own.ndim))
+    return jax.lax.psum(jnp.where(m, x, jnp.zeros((), x.dtype)), axis)
+
+
+def row_sharded_sampler(fn):
+    """Make a per-seed CSR sampler shard-transparent.
+
+    Wraps ``fn(csr, seeds, *a, **kw) -> array | tuple`` so that when
+    ``csr`` is a :class:`ShardedCSR`, each shard samples locally for the
+    seeds it owns and one psum recombines (owner contributes the true
+    values — including default fills — non-owners contribute zeros).
+    Randomness is identical across shards (same key, same shapes), so the
+    sharded result is bitwise-equal to the single-device sampler's.
+    """
+
+    @functools.wraps(fn)
+    def wrapped(csr, seeds, *args, **kwargs):
+        if not isinstance(csr, ShardedCSR):
+            return fn(csr, seeds, *args, **kwargs)
+        loc, own = own_rows(csr.rows_per_shard, csr.axis, seeds)
+        out = fn(csr.local, loc, *args, **kwargs)
+        if isinstance(out, tuple):
+            return tuple(psum_owned(x, own, csr.axis) for x in out)
+        return psum_owned(out, own, csr.axis)
+
+    return wrapped
+
+
+def sharded_row_gather(arr: Optional[jax.Array], rows_per_shard: int,
+                       axis: str, ids: jax.Array) -> Optional[jax.Array]:
+    """arr[ids] where ``arr`` is this shard's row block of a global array."""
+    if arr is None:
+        return None
+    loc, own = own_rows(rows_per_shard, axis, ids)
+    return psum_owned(arr[loc], own, axis)
+
+
+def edge_field(et, name: str, edge_ids: jax.Array) -> Optional[jax.Array]:
+    """Gather a per-edge field at (possibly -1-padded) edge row ids.
+
+    Single chokepoint for compile.py's direct ``et.src[eidx]`` /
+    ``et.timestamps[eids]`` accesses so they work on plain and sharded
+    edge tables alike.  Invalid ids (< 0) read row 0 on the plain path
+    (masked downstream) and produce zeros on the sharded path.
+    """
+    arr = getattr(et, name)
+    if arr is None:
+        return None
+    idx = jnp.maximum(edge_ids, 0)
+    if isinstance(et, ShardedEdgeTable):
+        return sharded_row_gather(arr, et.edges_per_shard, et.axis, idx)
+    return arr[idx]

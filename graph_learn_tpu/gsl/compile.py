@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from graph_learn_tpu.config import conf
+from graph_learn_tpu.core.sharding import edge_field, is_sharded
 from graph_learn_tpu.core.values import Edges, Nodes, SparseNodes, SubGraphVal
 from graph_learn_tpu.errors import InvalidArgumentError
 from graph_learn_tpu.gsl.dag import Dag, DagNode
@@ -169,8 +170,8 @@ def _exec_node(query: Query, tables, node: DagNode, recs, seeds, key) -> _Rec:
         et = tables["edges"][node.edge_type]
         s_t, d_t = _node_types_of_edge(query, node.edge_type)
         eidx = seeds.astype(jnp.int32)
-        src_ids = et.src[eidx]
-        dst_ids = et.dst[eidx]
+        src_ids = edge_field(et, "src", eidx)
+        dst_ids = edge_field(et, "dst", eidx)
         pay = edge_payload(et, eidx)
         val = Edges(
             edge_ids=eidx,
@@ -201,6 +202,10 @@ def _exec_node(query: Query, tables, node: DagNode, recs, seeds, key) -> _Rec:
 
     if kind == "walk":
         et = tables["edges"][node.edge_type]
+        if is_sharded(et):
+            raise InvalidArgumentError(
+                "random_walk is not yet supported on a graph-axis-sharded "
+                "store; use graph_shards=1 (replicated tables) for walks")
         s_t, d_t = _node_types_of_edge(query, node.edge_type)
         flat, shape = _flat(parent.ids)
         walks = walk_ops.node2vec_walk(et.out, flat, node.walk_len, key,
@@ -213,6 +218,11 @@ def _exec_node(query: Query, tables, node: DagNode, recs, seeds, key) -> _Rec:
 
     if kind == "subgraph":
         et = tables["edges"][node.edge_type]
+        if is_sharded(et):
+            raise InvalidArgumentError(
+                "SubGraph induction is not yet supported on a "
+                "graph-axis-sharded store (use the edge-partitioned "
+                "full-graph path, parallel/partition.py, or graph_shards=1)")
         s_t, d_t = _node_types_of_edge(query, node.edge_type)
         flat, _ = _flat(parent.ids)
         sg = sg_ops.induce_subgraph(et.out, flat, nbr_cap=node.nbr_cap,
@@ -265,7 +275,7 @@ def _exec_hop(query: Query, tables, node: DagNode, parent: _Rec, recs, key):
             ids, eids, degs = samp_ops.full_sample(csr, flat, cap)
         nt = tables["nodes"][result_type]
         val = lookup_sparse_nodes(nt, ids, degs, type_name=result_type)
-        new_ts = (et.timestamps[jnp.maximum(eids, 0)]
+        new_ts = (edge_field(et, "timestamps", eids)
                   if t_upper is not None else None)
         return _Rec(ids=ids.reshape(shape + (cap,)), edge_ids=eids,
                     degrees=degs, node_type=result_type, value=val,
@@ -315,7 +325,7 @@ def _exec_hop(query: Query, tables, node: DagNode, parent: _Rec, recs, key):
     ids = ids.reshape(shape + (k,))
     eids = eids.reshape(shape + (k,))
     nt = tables["nodes"][result_type]
-    hop_ts = (et.timestamps[jnp.maximum(eids, 0)]
+    hop_ts = (edge_field(et, "timestamps", eids)
               if t_upper is not None else None)
 
     if node.kind in ("out_v", "in_v"):
@@ -383,6 +393,11 @@ def _exec_conditional_neg(query: Query, tables, node: DagNode, recs, flat,
     from graph_learn_tpu.ops.conditional import conditional_negative_sample
     from graph_learn_tpu.ops.negative import _draw_cdf_ids, _draw_uniform_ids
 
+    if is_sharded(et) or is_sharded(dst_table):
+        raise InvalidArgumentError(
+            ".where() conditional negatives are not yet supported on a "
+            "graph-axis-sharded store (attribute-proportional matching "
+            "needs the dst payload; use graph_shards=1)")
     cond = node.condition or {}
     target = query.dag.get_node(node.filter_alias)
     pos_dst, _ = _flat(recs[target.nid].ids)

@@ -14,6 +14,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from graph_learn_tpu.core.sharding import (ShardedEdgeTable,
+                                           ShardedNodeTable, own_rows,
+                                           psum_owned)
 from graph_learn_tpu.core.store import (DeviceCSR, DeviceEdgeTable,
                                         DeviceNodeTable)
 from graph_learn_tpu.core.values import Nodes, SparseNodes
@@ -26,42 +29,71 @@ def _g(arr: Optional[jax.Array], idx: jax.Array):
     return arr[safe]
 
 
+def _field_getter(table, ids: jax.Array):
+    """Per-field gather closure; shard-transparent.
+
+    On a :class:`ShardedNodeTable` each field is gathered from the local
+    row block for owned ids and stitched with one psum (the device
+    analogue of the reference's fanned-out LookupNodes RPC + Stitcher,
+    node_lookuper.cc:24 + stitcher.h:26).
+    """
+    if isinstance(table, ShardedNodeTable):
+        loc, own = own_rows(table.rows_per_shard, table.axis, ids)
+
+        def g(name):
+            arr = getattr(table.local, name)
+            if arr is None:
+                return None
+            return psum_owned(arr[loc], own, table.axis)
+
+        return g
+    return lambda name: _g(getattr(table, name), ids)
+
+
 def lookup_nodes(table: DeviceNodeTable, ids: jax.Array,
                  type_name: str = "",
                  out_degrees: Optional[jax.Array] = None) -> Nodes:
     """ids: dense indices, any shape -> Nodes with full payload."""
+    g = _field_getter(table, ids)
     return Nodes(
         ids=ids.astype(jnp.int32),
-        raw_ids=_g(table.raw_ids, ids),
-        int_attrs=_g(table.int_attrs, ids),
-        float_attrs=_g(table.float_attrs, ids),
-        multival_attrs=_g(table.multival_attrs, ids),
-        multival_lens=_g(table.multival_lens, ids),
-        weights=_g(table.weights, ids),
-        labels=_g(table.labels, ids),
-        timestamps=_g(table.timestamps, ids),
+        raw_ids=g("raw_ids"),
+        int_attrs=g("int_attrs"),
+        float_attrs=g("float_attrs"),
+        multival_attrs=g("multival_attrs"),
+        multival_lens=g("multival_lens"),
+        weights=g("weights"),
+        labels=g("labels"),
+        timestamps=g("timestamps"),
         out_degrees=out_degrees,
         type_name=type_name)
 
 
 def lookup_sparse_nodes(table: DeviceNodeTable, ids: jax.Array,
                         degrees: jax.Array, type_name: str = "") -> SparseNodes:
+    g = _field_getter(table, ids)
     return SparseNodes(
         ids=ids.astype(jnp.int32), degrees=degrees,
-        raw_ids=_g(table.raw_ids, ids),
-        int_attrs=_g(table.int_attrs, ids),
-        float_attrs=_g(table.float_attrs, ids),
-        multival_attrs=_g(table.multival_attrs, ids),
-        multival_lens=_g(table.multival_lens, ids),
-        weights=_g(table.weights, ids),
-        labels=_g(table.labels, ids),
-        timestamps=_g(table.timestamps, ids),
+        raw_ids=g("raw_ids"),
+        int_attrs=g("int_attrs"),
+        float_attrs=g("float_attrs"),
+        multival_attrs=g("multival_attrs"),
+        multival_lens=g("multival_lens"),
+        weights=g("weights"),
+        labels=g("labels"),
+        timestamps=g("timestamps"),
         type_name=type_name)
 
 
 def edge_payload(et: DeviceEdgeTable, edge_ids: jax.Array):
     """Gather per-edge weight/label/ts/attrs at edge row indices (-1 = pad)."""
     valid = edge_ids >= 0
+    idx = jnp.maximum(edge_ids, 0)
+    if isinstance(et, ShardedEdgeTable):
+        loc, own = own_rows(et.edges_per_shard, et.axis, idx)
+        getv = lambda arr: psum_owned(arr[loc], own, et.axis)
+    else:
+        getv = lambda arr: _g(arr, idx)
     out = {}
     for name in ("weights", "labels", "timestamps", "int_attrs",
                  "float_attrs", "multival_attrs", "multival_lens"):
@@ -69,7 +101,7 @@ def edge_payload(et: DeviceEdgeTable, edge_ids: jax.Array):
         if arr is None:
             out[name] = None
             continue
-        v = _g(arr, jnp.maximum(edge_ids, 0))
+        v = getv(arr)
         if name == "weights":
             v = jnp.where(valid if v.ndim == valid.ndim
                           else valid[..., None], v, 0)

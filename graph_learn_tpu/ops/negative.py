@@ -48,17 +48,30 @@ def _draw_cdf_ids(cand_ids: jax.Array, cdf: jax.Array, key: jax.Array, shape):
 
 def _reject_neighbors(et: DeviceEdgeTable, seeds: jax.Array,
                       cands: jax.Array, reverse: bool = False) -> jax.Array:
-    """[b, k, R] -> True where candidate is a true neighbor of its seed."""
+    """[b, k, R] -> True where candidate is a true neighbor of its seed.
+
+    Shard-transparent: on a graph-axis-sharded store each shard checks
+    membership for the seed rows it owns and one psum stitches the bool
+    verdicts (core/sharding.py)."""
+    from graph_learn_tpu.core.sharding import (ShardedCSR, own_rows,
+                                               psum_owned)
     csr = et.inc if reverse else et.out
+    own = None
+    if isinstance(csr, ShardedCSR):
+        seeds, own = own_rows(csr.rows_per_shard, csr.axis, seeds)
+        axis, csr = csr.axis, csr.local
     start, end, _ = row_bounds_csr(csr, seeds)
     b = seeds.shape[0]
     extra = cands.shape[1:]
     lo = start.reshape((b,) + (1,) * len(extra))
     hi = end.reshape((b,) + (1,) * len(extra))
     from graph_learn_tpu.ops.segment import _bisect_iters
-    return segment_member(None, lo, hi, cands,
-                          sorted2d=csr.nbr_sorted_tiled,
-                          iters=_bisect_iters(csr.max_degree))
+    hit = segment_member(None, lo, hi, cands,
+                         sorted2d=csr.nbr_sorted_tiled,
+                         iters=_bisect_iters(csr.max_degree))
+    if own is not None:
+        hit = psum_owned(hit.astype(jnp.int32), own, axis) > 0
+    return hit
 
 
 def negative_sample_from_nodes(nt: DeviceNodeTable, b: int, k: int,

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from graph_learn_tpu.config import conf
+from graph_learn_tpu.core.sharding import row_sharded_sampler
 from graph_learn_tpu.core.store import DeviceCSR
 from graph_learn_tpu.ops.segment import (flat_gather, row_bounds_csr,
                                          segmented_searchsorted)
@@ -164,6 +165,7 @@ def _apply_filter_retry(csr: DeviceCSR, key: jax.Array, seeds: jax.Array,
     return jnp.take_along_axis(pos, pick[..., None], axis=-1)[..., 0]
 
 
+@row_sharded_sampler
 def uniform_sample(csr: DeviceCSR, seeds: jax.Array, k: int, key: jax.Array,
                    flt: Optional[SampleFilter] = None,
                    edge_ts: Optional[jax.Array] = None):
@@ -182,6 +184,7 @@ def uniform_sample(csr: DeviceCSR, seeds: jax.Array, k: int, key: jax.Array,
     return _gather(csr, pos, valid, start=start)
 
 
+@row_sharded_sampler
 def topk_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
                 key: Optional[jax.Array] = None):
     """First k of the (weight-desc / ts-asc) adjacency; circular padding."""
@@ -196,6 +199,7 @@ def topk_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
     return _gather(csr, pos, valid, start=start)
 
 
+@row_sharded_sampler
 def weighted_sample(csr: DeviceCSR, seeds: jax.Array, k: int, key: jax.Array,
                     by: str = "edge_weight"):
     """Inverse-CDF weighted sampling (edge_weight or in_degree strategy)."""
@@ -288,6 +292,7 @@ def wor_positions(start: jax.Array, deg: jax.Array, k: int,
     return start[:, None] + idx
 
 
+@row_sharded_sampler
 def without_replacement_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
                                key: jax.Array):
     """Uniform without replacement over each seed's full row."""
@@ -297,6 +302,7 @@ def without_replacement_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
     return _gather(csr, pos, valid, start=start)
 
 
+@row_sharded_sampler
 def full_sample(csr: DeviceCSR, seeds: jax.Array, cap: int):
     """All neighbors up to a static cap. Returns (ids, eids, degrees).
 

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from graph_learn_tpu.config import conf
+from graph_learn_tpu.core.sharding import row_sharded_sampler
 from graph_learn_tpu.core.store import DeviceCSR
 from graph_learn_tpu.ops.sampling import _gather
 from graph_learn_tpu.ops.segment import (row_bounds_csr,
@@ -48,6 +49,7 @@ def _cutoffs(csr: DeviceCSR, seeds: jax.Array, t_upper: jax.Array):
     return start, hi, hi - start
 
 
+@row_sharded_sampler
 def temporal_uniform_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
                             key: jax.Array, t_upper: jax.Array):
     """Uniform with replacement among edges with ts < t_upper[i]."""
@@ -59,6 +61,7 @@ def temporal_uniform_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
     return _gather(csr, pos, (deg > 0)[:, None], start=start)
 
 
+@row_sharded_sampler
 def temporal_weighted_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
                              key: jax.Array, t_upper: jax.Array,
                              by: str = "edge_weight"):
@@ -102,6 +105,7 @@ def temporal_weighted_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
     return _gather(csr, pos, (deg > 0)[:, None], start=start)
 
 
+@row_sharded_sampler
 def temporal_without_replacement_sample(csr: DeviceCSR, seeds: jax.Array,
                                         k: int, key: jax.Array,
                                         t_upper: jax.Array):
@@ -112,6 +116,7 @@ def temporal_without_replacement_sample(csr: DeviceCSR, seeds: jax.Array,
     return _gather(csr, pos, (deg > 0)[:, None], start=start)
 
 
+@row_sharded_sampler
 def temporal_topk_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
                          t_upper: jax.Array):
     """The k MOST RECENT edges before t (TGN-style recency neighborhood)."""
@@ -125,6 +130,7 @@ def temporal_topk_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
     return _gather(csr, pos, (deg > 0)[:, None], start=start)
 
 
+@row_sharded_sampler
 def temporal_full_sample(csr: DeviceCSR, seeds: jax.Array, cap: int,
                          t_upper: jax.Array):
     """All admissible edges up to cap, most recent last (csr order)."""

@@ -21,6 +21,68 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from graph_learn_tpu.gsl.compile import Query, _execute
 
 
+def make_partitioned_plan(query: Query, mesh: Mesh, stables):
+    """Compile the GSL plan over a graph-axis-SHARDED store.
+
+    Returns plan(seeds, key) -> {alias: value}: seeds sharded P('data'),
+    graph tables partitioned P('graph') (parallel/sharded_store.py), every
+    per-seed operator stitched with one psum inside shard_map
+    (core/sharding.py).  This is the TPU replacement for the reference's
+    distributed sampling service: graph size scales with device count
+    (reference: core/runner/op_runner.h:60-152 DistributeRunner).
+    """
+    from jax import shard_map
+
+    axis = stables.axis
+
+    def body(stacked, repl, seeds, key):
+        block = jax.tree.map(lambda x: x[0], stacked)  # graph-axis block
+        view = stables.view(block, repl)
+        return _execute(query, view, seeds, key)
+
+    inner = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(), P("data"), P()),
+        out_specs=P("data"), check_vma=False)
+
+    def plan(seeds, key):
+        return inner(stables.stacked, stables.repl, seeds, key)
+
+    return plan
+
+
+def make_partitioned_train_step(query: Query, model, loss_fn: Callable,
+                                optimizer: optax.GradientTransformation,
+                                mesh: Mesh, stables):
+    """Full SPMD train step over a partitioned graph store.
+
+    Composition: the shard_map sampling plan (graph axis) feeds the GSPMD
+    model step (data axis); XLA inserts the gradient all-reduce from the
+    sharding constraints, exactly like make_sharded_train_step — but here
+    no device ever holds more than 1/P of the graph tables.
+    """
+    plan = make_partitioned_plan(query, mesh, stables)
+    seed_sh = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    @partial(jax.jit,
+             in_shardings=(repl, repl, seed_sh, repl),
+             out_shardings=(repl, repl, repl))
+    def step(params, opt_state, seeds, key):
+        ks, km = jax.random.split(key)
+        batch = plan(seeds, ks)
+
+        def lf(p):
+            return loss_fn(model, p, batch, km, True)
+
+        loss, grads = jax.value_and_grad(lf)(params)
+        updates, opt_state2 = optimizer.update(grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        return params2, opt_state2, loss
+
+    return step
+
+
 def make_sharded_train_step(query: Query, model, loss_fn: Callable,
                             optimizer: optax.GradientTransformation,
                             mesh: Mesh):

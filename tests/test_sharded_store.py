@@ -1,0 +1,228 @@
+"""Graph-axis-sharded SAMPLED path (VERDICT round-1 Missing #1).
+
+The flagship capability of the reference is training on graphs bigger
+than one machine: hash-partitioned storage + request fan-out/stitch
+(reference: core/partition/hash_partitioner.h:90-92,
+core/runner/op_runner.h:60-152).  These tests pin the TPU equivalent:
+
+1. the sharded plan's results are IDENTICAL to the single-device plan's
+   (same key -> same draws -> the psum stitch must be exact);
+2. per-device bytes really shrink vs the full store;
+3. the partitioned train step runs end-to-end on a (data x graph) mesh.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+import graph_learn_tpu as gl
+from graph_learn_tpu.gsl.compile import _execute
+from graph_learn_tpu.parallel.mesh import make_mesh
+from graph_learn_tpu.parallel.sharded_store import build_sharded_tables
+from graph_learn_tpu.parallel.train import (make_partitioned_plan,
+                                            make_partitioned_train_step)
+
+
+@pytest.fixture
+def wts_graph(tmp_path):
+    """Weighted + timestamped + labeled graph through real ingest."""
+    rng = np.random.default_rng(3)
+    n = 50
+    with open(tmp_path / "nodes", "w") as f:
+        f.write("id:int64\tweight:float\tlabel:int64\tfeature:string\n")
+        for i in range(n):
+            feats = ":".join("%.4f" % x for x in rng.random(6))
+            f.write("%d\t%.2f\t%d\t%s\n" % (i, 0.1 + i * 0.05, i % 4, feats))
+    with open(tmp_path / "edges", "w") as f:
+        f.write("src_id:int64\tdst_id:int64\tweight:float\ttimestamp:int64\n")
+        for i in range(n):
+            for j in range(1 + i % 6):
+                f.write("%d\t%d\t%.2f\t%d\n"
+                        % (i, (i * 7 + j * 3 + 1) % n, 0.5 + j, 100 * i + j))
+    with open(tmp_path / "train", "w") as f:
+        f.write("id:int64\tweight:float\n")
+        for i in range(0, n, 2):
+            f.write("%d\t1.0\n" % i)
+    g = (gl.Graph()
+         .node(str(tmp_path / "nodes"), "v",
+               gl.Decoder(weighted=True, labeled=True,
+                          attr_types=["float"] * 6))
+         .edge(str(tmp_path / "edges"), ("v", "v", "e"),
+               gl.Decoder(weighted=True, timestamped=True))
+         .node(str(tmp_path / "train"), "v", gl.Decoder(weighted=True),
+               mask=gl.Mask.TRAIN))
+    return g.init()
+
+
+def _tree_equal(a, b, path=""):
+    la, ta = jax.tree_util.tree_flatten(a)
+    lb, tb = jax.tree_util.tree_flatten(b)
+    assert ta == tb
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.parametrize("strategy", ["random", "topk", "edge_weight",
+                                      "in_degree",
+                                      "random_without_replacement", "full"])
+def test_sharded_plan_matches_single_device(wts_graph, strategy):
+    g = wts_graph
+    q = (g.V("v", mask=gl.Mask.TRAIN).batch(8).alias("src")
+         .outV("e").sample(3).by(strategy).alias("h1")
+         .outV("e").sample(2).by("random").alias("h2").values())
+    # n_data=1: the RNG stream is shaped by the per-device seed block, so
+    # bitwise equality with the single-device plan holds when the data
+    # axis is trivial (the graph axis never affects draws: same key, same
+    # shapes on every shard).
+    mesh = make_mesh(n_data=1, n_graph=8)
+    stables = build_sharded_tables(q, 8).place(mesh)
+    plan = make_partitioned_plan(q, mesh, stables)
+    seeds = jnp.arange(8, dtype=jnp.int32)
+    key = jax.random.key(5)
+    with jax.set_mesh(mesh):
+        sharded = jax.jit(plan)(seeds, key)
+    single = jax.jit(lambda t, s, k: _execute(q, t, s, k))(
+        q.device_tables(), seeds, key)
+    _tree_equal(single, sharded)
+
+
+def test_sharded_temporal_and_negatives_match(wts_graph):
+    g = wts_graph
+    q = (g.E("e").batch(6).alias("ev").outV().alias("src")
+         .outE("e").sample(3).by("edge_weight").alias("h1")
+         .values())
+    q2 = (g.V("v").batch(6).alias("src")
+          .outNeg("e").sample(4).by("in_degree").alias("neg").values())
+    mesh = make_mesh(n_data=1, n_graph=8)
+    seeds = jnp.arange(6, dtype=jnp.int32)
+    key = jax.random.key(9)
+    for query in (q, q2):
+        stables = build_sharded_tables(query, 8).place(mesh)
+        plan = make_partitioned_plan(query, mesh, stables)
+        with jax.set_mesh(mesh):
+            sharded = jax.jit(plan)(seeds, key)
+        single = jax.jit(lambda t, s, k: _execute(query, t, s, k))(
+            query.device_tables(), seeds, key)
+        _tree_equal(single, sharded)
+
+
+def test_sharded_plan_valid_under_data_parallelism(wts_graph):
+    """(data=2, graph=4): draws differ from single-device (per-device RNG
+    block shapes), so assert structural correctness: every sampled
+    neighbor is a true neighbor of its seed and payload rows match."""
+    g = wts_graph
+    q = (g.V("v").batch(8).alias("src")
+         .outE("e").sample(3).by("random").alias("h1").values())
+    mesh = make_mesh(n_data=2, n_graph=4)
+    stables = build_sharded_tables(q, 4).place(mesh)
+    plan = make_partitioned_plan(q, mesh, stables)
+    seeds = jnp.arange(8, dtype=jnp.int32)
+    with jax.set_mesh(mesh):
+        out = jax.jit(plan)(seeds, jax.random.key(2))
+    et = g.store.edge_table("e")
+    dev = et.device()
+    ro = np.asarray(dev.out.row_offsets)
+    nbr = np.asarray(dev.out.nbr_ids)
+    ids = np.asarray(out["h1"].dst_nodes.ids)
+    eids = np.asarray(out["h1"].edge_ids)
+    for i in range(8):
+        adm = set(nbr[ro[i]:ro[i + 1]].tolist())
+        got = set(ids[i].tolist())
+        assert got.issubset(adm), (i, got, adm)
+    # edge ids are GLOBAL edge rows consistent with (src, dst)
+    src_of = np.asarray(et.src)
+    dst_of = np.asarray(et.dst)
+    m = eids >= 0
+    np.testing.assert_array_equal(src_of[eids[m]],
+                                  np.broadcast_to(seeds[:, None], eids.shape)[m])
+    np.testing.assert_array_equal(dst_of[eids[m]], ids[m])
+    # payload lookups stitched correctly
+    feats = np.asarray(g.store.node_table("v").float_attrs)
+    np.testing.assert_allclose(np.asarray(out["h1"].dst_nodes.float_attrs),
+                               feats[ids], rtol=1e-6)
+    # edge weights stitched from the sharded edge-payload blocks
+    w_of = np.asarray(et.weights)
+    np.testing.assert_allclose(np.asarray(out["h1"].weights)[m],
+                               w_of[eids[m]], rtol=1e-6)
+
+
+def test_per_device_bytes_shrink(tmp_path):
+    """On a non-toy graph each device holds ~1/P of the store (the point:
+    graphs bigger than one chip's HBM).  Tiny graphs are floored by the
+    128-lane tile padding, so use a few thousand nodes."""
+    rng = np.random.default_rng(0)
+    n, deg, f = 2000, 10, 32
+    with open(tmp_path / "nodes", "w") as fh:
+        fh.write("id:int64\tfeature:string\n")
+        for i in range(n):
+            fh.write("%d\t%s\n" % (i, ":".join(
+                "%.3f" % x for x in rng.random(f))))
+    with open(tmp_path / "edges", "w") as fh:
+        fh.write("src_id:int64\tdst_id:int64\tweight:float\n")
+        for i in range(n):
+            for j in range(deg):
+                fh.write("%d\t%d\t%.2f\n" % (i, (i * 13 + j * 7) % n, j + 1.0))
+    g = (gl.Graph()
+         .node(str(tmp_path / "nodes"), "v", gl.Decoder(attr_types=["float"] * f))
+         .edge(str(tmp_path / "edges"), ("v", "v", "e"),
+               gl.Decoder(weighted=True))).init()
+    q = (g.V("v").batch(8).alias("src")
+         .outV("e").sample(3).by("edge_weight").alias("h1").values())
+    full = q.device_tables()
+    full_bytes = sum(x.nbytes for x in jax.tree.leaves(full))
+    st = build_sharded_tables(q, 8)
+    per_dev = st.bytes_per_device()
+    assert per_dev < full_bytes * 0.3, (per_dev, full_bytes)
+
+
+def test_partitioned_train_step_runs(wts_graph):
+    from graph_learn_tpu.nn.data import EgoGraph
+    from graph_learn_tpu.nn.loss import supervised_softmax_loss
+    from graph_learn_tpu.nn.models.ego_gnn import EgoGraphSAGE
+
+    g = wts_graph
+    dec = g.get_node_decoder("v")
+    q = (g.V("v", mask=gl.Mask.TRAIN).batch(8).alias("src")
+         .outV("e").sample(4).by("edge_weight").alias("hop1")
+         .outV("e").sample(2).by("random").alias("hop2").values())
+    model = EgoGraphSAGE([6, 8, 4], dec, agg_type="mean")
+    mesh = make_mesh(n_data=2, n_graph=4)
+    stables = build_sharded_tables(q, 4).place(mesh)
+
+    b0 = gl.Dataset(q, window=1).next()
+    ego0 = EgoGraph.from_query_result(b0, "src", ["hop1", "hop2"])
+    params = model.init(jax.random.key(0), ego0, training=False)
+
+    def loss_fn(model_, p, batch, rng, training):
+        ego = EgoGraph.from_query_result(batch, "src", ["hop1", "hop2"])
+        logits = model_.apply(p, ego, training=training,
+                              rngs={"dropout": rng})
+        return supervised_softmax_loss(logits, batch["src"].labels)
+
+    opt = optax.adam(0.05)
+    step = make_partitioned_train_step(q, model, loss_fn, opt, mesh, stables)
+    opt_state = opt.init(params)
+    seeds = jnp.arange(8, dtype=jnp.int32)
+    with jax.set_mesh(mesh):
+        losses = []
+        for i in range(3):
+            params, opt_state, loss = step(params, opt_state, seeds,
+                                           jax.random.key(i))
+            losses.append(float(loss))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]  # it actually learns on repeated batch
+
+
+def test_sharded_store_rejects_walks_and_conditional(wts_graph):
+    from graph_learn_tpu.errors import InvalidArgumentError
+    g = wts_graph
+    q = (g.V("v").batch(4).alias("src")
+         .random_walk(3, edge_type="e").alias("w").values())
+    mesh = make_mesh(n_data=1, n_graph=8)
+    stables = build_sharded_tables(q, 8).place(mesh)
+    plan = make_partitioned_plan(q, mesh, stables)
+    with pytest.raises(InvalidArgumentError):
+        with jax.set_mesh(mesh):
+            jax.jit(plan)(jnp.arange(4, dtype=jnp.int32), jax.random.key(0))
