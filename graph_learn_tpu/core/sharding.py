@@ -166,6 +166,20 @@ def sharded_row_gather(arr: Optional[jax.Array], rows_per_shard: int,
     return psum_owned(arr[loc], own, axis)
 
 
+def csr_degrees(csr, ids: jax.Array) -> jax.Array:
+    """Row degrees at ``ids`` (any shape); shard-transparent.
+
+    Backs the auto-populated per-hop degrees (reference DegreeDagNode,
+    gsl/dag_node.py:71-79 + degree_getter.cc:28)."""
+    from graph_learn_tpu.ops.segment import row_bounds_csr
+    if isinstance(csr, ShardedCSR):
+        loc, own = own_rows(csr.rows_per_shard, csr.axis, ids)
+        _, _, d = row_bounds_csr(csr.local, loc)
+        return psum_owned(d, own, csr.axis)
+    _, _, d = row_bounds_csr(csr, ids)
+    return d
+
+
 def edge_field(et, name: str, edge_ids: jax.Array) -> Optional[jax.Array]:
     """Gather a per-edge field at (possibly -1-padded) edge row ids.
 

@@ -146,9 +146,29 @@ class Graph:
         return self
 
     def _add_or_extend_node(self, node_type: str, decoder: Decoder, cols):
+        """Create the node table, or MERGE an additional source into it.
+
+        Parity: the reference concatenates multiple sources registered for
+        one node type — comma-separated paths or repeated g.node() calls
+        (reference python/graph.py:200-242 appends to node_sources and the
+        loaders union the rows).  Duplicate ids across sources raise (the
+        store's IdIndex enforces uniqueness).
+        """
+        fields = ("int_attrs", "float_attrs", "multival_attrs",
+                  "multival_lens", "weights", "labels", "timestamps")
         if node_type in self.store.nodes:
-            raise InvalidArgumentError(
-                "multiple sources for node type %r not yet supported" % node_type)
+            old = self.store.nodes[node_type]
+            merged = {"ids": np.concatenate([old.raw_ids, cols["ids"]])}
+            for f in fields:
+                a = getattr(old, f)
+                b = cols[f]
+                if (a is None) != (b is None):
+                    raise InvalidArgumentError(
+                        "source schemas for node type %r disagree on %s "
+                        "(all sources of one type must share the decoder "
+                        "layout)" % (node_type, f))
+                merged[f] = None if a is None else np.concatenate([a, b])
+            cols = merged
         table = NodeTable(
             node_type, decoder, cols["ids"],
             int_attrs=cols["int_attrs"], float_attrs=cols["float_attrs"],

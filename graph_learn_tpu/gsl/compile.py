@@ -244,18 +244,25 @@ def _exec_hop(query: Query, tables, node: DagNode, parent: _Rec, recs, key):
     csr = et.inc if incoming else et.out
     result_type = s_t if incoming else d_t
     flat, shape = _flat(parent.ids)
+
+    # populate the parent's degrees w.r.t. the hopped edge type (parity
+    # with the reference's auto-inserted DegreeDagNode per traversal,
+    # gsl/dag_node.py:71-79): Nodes.out_degrees on dense hops.
+    from graph_learn_tpu.core.sharding import csr_degrees
+    pv = parent.value
+    if isinstance(pv, Nodes) and pv.out_degrees is None:
+        parent.value = pv.replace(
+            out_degrees=csr_degrees(csr, flat).reshape(shape))
     k = node.count
     strategy = node.strategy
 
     flt = None
     if node.filter_alias is not None:
         # reject samples equal to the target's per-row ids
-        # (reference FilterType.EQUAL on FilterField.ID, dag_node.py:212-231)
+        # (reference FilterType.EQUAL on FilterField.ID, dag_node.py:212-231;
+        # applied inside EVERY sampler via Filter::ActOn, sampler/filter.cc)
         target = query.dag.get_node(node.filter_alias)
         tgt_flat, _ = _flat(recs[target.nid].ids)
-        if strategy != "random":
-            raise InvalidArgumentError(
-                ".filter() currently supported with the 'random' strategy")
         flt = samp_ops.SampleFilter(exclude_dst=tgt_flat)
 
     # temporal traversal: when the seed path carries timestamps and this
@@ -265,6 +272,10 @@ def _exec_hop(query: Query, tables, node: DagNode, parent: _Rec, recs, key):
     t_upper = None
     if parent.ts is not None and csr.nbr_ts is not None:
         t_upper, _ = _flat(parent.ts)
+    if t_upper is not None and flt is not None:
+        raise InvalidArgumentError(
+            ".filter() combined with temporal traversal is not supported "
+            "yet; drop the filter or the timestamp decoding")
 
     if strategy == "full":
         cap = k if k > 0 else conf.default_full_nbr_num
@@ -272,7 +283,7 @@ def _exec_hop(query: Query, tables, node: DagNode, parent: _Rec, recs, key):
             ids, eids, degs = temporal_ops.temporal_full_sample(
                 csr, flat, cap, t_upper)
         else:
-            ids, eids, degs = samp_ops.full_sample(csr, flat, cap)
+            ids, eids, degs = samp_ops.full_sample(csr, flat, cap, flt=flt)
         nt = tables["nodes"][result_type]
         val = lookup_sparse_nodes(nt, ids, degs, type_name=result_type)
         new_ts = (edge_field(et, "timestamps", eids)
@@ -311,11 +322,13 @@ def _exec_hop(query: Query, tables, node: DagNode, parent: _Rec, recs, key):
     elif strategy == "random":
         ids, eids = samp_ops.uniform_sample(csr, flat, k, key, flt=flt)
     elif strategy == "topk":
-        ids, eids = samp_ops.topk_sample(csr, flat, k)
+        ids, eids = samp_ops.topk_sample(csr, flat, k, flt=flt)
     elif strategy in ("edge_weight", "in_degree"):
-        ids, eids = samp_ops.weighted_sample(csr, flat, k, key, by=strategy)
+        ids, eids = samp_ops.weighted_sample(csr, flat, k, key, by=strategy,
+                                             flt=flt)
     elif strategy == "random_without_replacement":
-        ids, eids = samp_ops.without_replacement_sample(csr, flat, k, key)
+        ids, eids = samp_ops.without_replacement_sample(csr, flat, k, key,
+                                                        flt=flt)
     elif strategy in samp_ops.STRATEGY_FNS:
         # user-registered strategy (register_sampler extension point)
         ids, eids = samp_ops.STRATEGY_FNS[strategy](csr, flat, k, key)

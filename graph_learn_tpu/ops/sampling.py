@@ -134,6 +134,42 @@ def _gather(csr: DeviceCSR, pos: jax.Array, valid: jax.Array,
     return ids, eids
 
 
+def _excl_rel(csr: DeviceCSR, start: jax.Array, end: jax.Array,
+              excl: jax.Array):
+    """(rel, present): within-row position of the excluded neighbor id.
+
+    The device analogue of the reference's Filter::ActOn removing hit
+    indices before selection (sampler/filter.cc, used by every sampler,
+    e.g. topk_sampler.cc:55-57).  Window path only (max_degree <= 256):
+    one fetch of the row's id window locates the excluded id exactly.
+    Returns None when the CSR has no window (hub-degree graphs) — callers
+    raise loudly rather than silently ignoring the filter.
+    """
+    nwin = _nwin(csr)
+    if not nwin:
+        return None
+    win, lane_abs = fetch_window(csr.nbr_tiled, start >> 7, nwin)
+    in_row = (lane_abs >= start[:, None]) & (lane_abs < end[:, None])
+    hit = in_row & (win == excl[:, None])
+    pos = jnp.max(jnp.where(hit, lane_abs, -1), axis=-1)
+    present = pos >= 0
+    rel = jnp.where(present, pos - start, jnp.int32(2 ** 30))
+    return rel, present
+
+
+def _filter_guard(csr: DeviceCSR, flt, strategy: str):
+    """Resolve a filter to (rel, present) or raise if unsupported here."""
+    if flt is None or flt.exclude_dst is None:
+        return None
+    nwin = _nwin(csr)
+    if not nwin:
+        raise ValueError(
+            ".filter() with strategy %r needs the windowed row path "
+            "(max_degree <= 256); on hub-degree graphs only 'random' "
+            "supports filters (rejection retries)" % strategy)
+    return flt.exclude_dst
+
+
 def _apply_filter_retry(csr: DeviceCSR, key: jax.Array, seeds: jax.Array,
                         start, deg, k: int, flt: Optional[SampleFilter],
                         edge_ts: Optional[jax.Array],
@@ -186,14 +222,26 @@ def uniform_sample(csr: DeviceCSR, seeds: jax.Array, k: int, key: jax.Array,
 
 @row_sharded_sampler
 def topk_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
-                key: Optional[jax.Array] = None):
-    """First k of the (weight-desc / ts-asc) adjacency; circular padding."""
-    start, _, deg = row_bounds_csr(csr, seeds)
+                key: Optional[jax.Array] = None,
+                flt: Optional[SampleFilter] = None):
+    """First k of the (weight-desc / ts-asc) adjacency; circular padding.
+
+    With a filter, the excluded neighbor is removed from the row before
+    selection (reference topk_sampler.cc:55-57 filter->ActOn)."""
+    start, end, deg = row_bounds_csr(csr, seeds)
+    excl = _filter_guard(csr, flt, "topk")
+    rel, present = (None, None)
+    if excl is not None:
+        rel, present = _excl_rel(csr, start, end, excl)
+        deg = deg - present.astype(jnp.int32)
     ar = jnp.arange(k, dtype=jnp.int32)
     if conf.padding_mode == 1:  # circular (circular_padder.h)
         idx = ar[None, :] % jnp.maximum(deg, 1)[:, None]
     else:  # replicate last (replicate_padder.h)
         idx = jnp.minimum(ar[None, :], jnp.maximum(deg, 1)[:, None] - 1)
+    if rel is not None:
+        # skip over the removed slot: filtered index j -> j (+1 past rel)
+        idx = idx + (present[:, None] & (idx >= rel[:, None]))
     pos = start[:, None] + idx
     valid = (deg > 0)[:, None]
     return _gather(csr, pos, valid, start=start)
@@ -201,8 +249,14 @@ def topk_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
 
 @row_sharded_sampler
 def weighted_sample(csr: DeviceCSR, seeds: jax.Array, k: int, key: jax.Array,
-                    by: str = "edge_weight"):
-    """Inverse-CDF weighted sampling (edge_weight or in_degree strategy)."""
+                    by: str = "edge_weight",
+                    flt: Optional[SampleFilter] = None):
+    """Inverse-CDF weighted sampling (edge_weight or in_degree strategy).
+
+    With a filter, the excluded neighbor's probability mass is removed
+    exactly: draw u' over the remaining mass and shift past the excluded
+    slot's CDF interval (reference edge_weight_sampler.cc:58-61
+    filter->ActOn before the weighted pick)."""
     if csr.n_edges == 0:
         # empty adjacency: every seed gets the default fill (parity with
         # res->FillWith on degree-0 rows)
@@ -212,6 +266,7 @@ def weighted_sample(csr: DeviceCSR, seeds: jax.Array, k: int, key: jax.Array,
         raise ValueError(
             "CSR has no %s CDF table (source not weighted?)" % by)
     start, end, deg = row_bounds_csr(csr, seeds)
+    excl = _filter_guard(csr, flt, by)
     u = jax.random.uniform(key, seeds.shape + (k,))
     nwin = _nwin(csr)
     if nwin:
@@ -219,8 +274,29 @@ def weighted_sample(csr: DeviceCSR, seeds: jax.Array, k: int, key: jax.Array,
         # fetch replaces the log-d bisection probes entirely
         win, lane_abs = fetch_window(cum2d, start >> 7, nwin)
         in_row = (lane_abs >= start[:, None]) & (lane_abs < end[:, None])
-        below = in_row[:, None, :] & (win[:, None, :] < u[..., None])
-        pos = start[:, None] + jnp.sum(below, axis=-1).astype(jnp.int32)
+        t = u
+        if excl is not None:
+            rel, present = _excl_rel(csr, start, end, excl)
+            deg = deg - present.astype(jnp.int32)
+            # CDF mass of the excluded slot: [cdf[rel-1], cdf[rel])
+            relc = jnp.minimum(rel, jnp.maximum(end - start, 1) - 1)
+            at_x = _window_select(cum2d, start >> 7, start + relc, nwin)
+            prev_x = jnp.where(relc > 0, _window_select(
+                cum2d, start >> 7, start + relc - 1, nwin), 0.0)
+            w_x = jnp.where(present, at_x - prev_x, 0.0)
+            u2 = u * (1.0 - w_x)[:, None]
+            t = jnp.where(u2 < prev_x[:, None], u2, u2 + w_x[:, None])
+            below = in_row[:, None, :] & (win[:, None, :] < t[..., None])
+            pos = start[:, None] + jnp.sum(below, axis=-1).astype(jnp.int32)
+            # float-boundary guard: if the count lands exactly on the
+            # excluded slot, step off it (away from the row edge)
+            on_x = present[:, None] & (pos - start[:, None] == relc[:, None])
+            step = jnp.where(relc == jnp.maximum(end - start, 1) - 1,
+                             -1, 1)[:, None]
+            pos = jnp.where(on_x, pos + step, pos)
+        else:
+            below = in_row[:, None, :] & (win[:, None, :] < t[..., None])
+            pos = start[:, None] + jnp.sum(below, axis=-1).astype(jnp.int32)
     else:
         from graph_learn_tpu.ops.segment import _bisect_iters
         pos = segmented_searchsorted(None, start[:, None], end[:, None], u,
@@ -232,7 +308,7 @@ def weighted_sample(csr: DeviceCSR, seeds: jax.Array, k: int, key: jax.Array,
 
 
 def wor_positions(start: jax.Array, deg: jax.Array, k: int,
-                  key: jax.Array) -> jax.Array:
+                  key: jax.Array, rel=None, present=None) -> jax.Array:
     """Exact uniform-without-replacement flat positions within CSR rows.
 
     ``start``/``deg`` define each seed's admissible window
@@ -289,29 +365,46 @@ def wor_positions(start: jax.Array, deg: jax.Array, k: int,
     # neighbors), then circular padding
     take_all = ar % degm[:, None]
     idx = jnp.where(deg[:, None] > k, drawn, take_all)
+    if rel is not None:
+        # filtered draw space [0, deg): map index past the removed slot
+        idx = idx + (present[:, None] & (idx >= rel[:, None]))
     return start[:, None] + idx
 
 
 @row_sharded_sampler
 def without_replacement_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
-                               key: jax.Array):
-    """Uniform without replacement over each seed's full row."""
-    start, _, deg = row_bounds_csr(csr, seeds)
-    pos = wor_positions(start, deg, k, key)
+                               key: jax.Array,
+                               flt: Optional[SampleFilter] = None):
+    """Uniform without replacement over each seed's (filtered) row."""
+    start, end, deg = row_bounds_csr(csr, seeds)
+    excl = _filter_guard(csr, flt, "random_without_replacement")
+    rel, present = (None, None)
+    if excl is not None:
+        rel, present = _excl_rel(csr, start, end, excl)
+        deg = deg - present.astype(jnp.int32)
+    pos = wor_positions(start, deg, k, key, rel=rel, present=present)
     valid = (deg > 0)[:, None]
     return _gather(csr, pos, valid, start=start)
 
 
 @row_sharded_sampler
-def full_sample(csr: DeviceCSR, seeds: jax.Array, cap: int):
+def full_sample(csr: DeviceCSR, seeds: jax.Array, cap: int,
+                flt: Optional[SampleFilter] = None):
     """All neighbors up to a static cap. Returns (ids, eids, degrees).
 
     degrees is clipped to cap (reference truncates to count when count > 0,
-    full_sampler.cc:31-60).
+    full_sampler.cc:31-60).  With a filter, the excluded neighbor is
+    compacted out of the row before capping.
     """
-    start, _, deg = row_bounds_csr(csr, seeds)
+    start, end, deg = row_bounds_csr(csr, seeds)
+    excl = _filter_guard(csr, flt, "full")
     ar = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    pos = start[:, None] + ar
+    idx = ar
+    if excl is not None:
+        rel, present = _excl_rel(csr, start, end, excl)
+        deg = deg - present.astype(jnp.int32)
+        idx = ar + (present[:, None] & (ar >= rel[:, None]))
+    pos = start[:, None] + idx
     valid = ar < deg[:, None]
     ids, eids = _gather(csr, pos, valid, start=start)
     return ids, eids, jnp.minimum(deg, cap).astype(jnp.int32)
