@@ -66,11 +66,11 @@ class ServingServer:
         self.graph = graph
         self.service = QueryService(graph)
         self._buf = UpdateBuffer()
-        # admin mutations take the global lock; /serving only takes its
-        # query's lock, so serving threads never stall behind an O(E log E)
-        # host CSR rebuild (and distinct queries serve concurrently)
+        # admin mutations take the global lock; /serving takes no lock at
+        # all — each installed query coalesces concurrent callers onto
+        # shared device launches and serves them against copy-on-write
+        # snapshots, so updates/refresh never stall reads
         self._lock = threading.Lock()
-        self._qlocks = {}
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -111,16 +111,13 @@ class ServingServer:
                         mb = int(body.get("micro_batch", 256))
                         with outer._lock:
                             qid = outer.service.install(q, micro_batch=mb)
-                            outer._qlocks[qid] = threading.Lock()
                         self._send(200, {"qid": qid})
                     elif u.path == "/serving":
                         ids = np.asarray(body["ids"], np.int64)
                         qid = int(body["qid"])
-                        qlock = outer._qlocks.get(qid)
-                        if qlock is None:
+                        if qid not in outer.service._queries:
                             raise KeyError("unknown qid %r" % qid)
-                        with qlock:
-                            out = outer.service.run(qid, ids)
+                        out = outer.service.run(qid, ids)
                         self._send(200, {a: _value_payload(v)
                                          for a, v in out.items()})
                     elif u.path == "/admin/update":
@@ -165,6 +162,7 @@ class ServingServer:
         self._httpd.shutdown()
         if self._thread:
             self._thread.join(timeout=5)
+        self.service.close()
 
 
 class ServingClient:

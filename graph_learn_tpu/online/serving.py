@@ -9,15 +9,26 @@ targets docs/en/dgs/intro.md:26-29).
 
 Redesign: there is no pre-sampling store — the compiled query plan IS the
 serving function.  install() jits the plan at a fixed micro-batch size;
-run() pads requests into it.  A micro-batcher amortises dispatch: at
-micro-batch 256 a single chip answers hundreds of vids per plan launch.
-Updates land through online/update.py and are visible at the next
-``refresh()`` (table re-upload), mirroring DGS's ingest->serve staleness
-window.
+concurrent callers are coalesced onto shared device launches:
+
+- **Coalescing**: each installed query owns a dispatcher thread.  Callers
+  (one per HTTP connection) enqueue raw ids and block; the dispatcher
+  drains every pending request into one padded micro-batch, launches the
+  plan once, and slices the result back per caller.  This is the device
+  analogue of DGS's per-shard actor mailbox (serving_actor.act.h:29) —
+  concurrency buys batch occupancy instead of queueing delay.
+- **Copy-on-write snapshots**: a request is served entirely against one
+  immutable (id-index, device-tables) snapshot captured at dispatch time.
+  ``refresh()`` builds the next snapshot while old-snapshot requests keep
+  flowing, then swaps it in atomically — updates never stall reads
+  (DGS equivalent: RocksDB snapshot isolation under DataUpdateActor
+  ingest, data_update_actor.act.h:29).
 """
 
 from __future__ import annotations
 
+import queue
+import threading
 import time
 from typing import Dict, List, Optional
 
@@ -29,6 +40,31 @@ from graph_learn_tpu.config import conf
 from graph_learn_tpu.errors import InvalidArgumentError
 from graph_learn_tpu.gsl.compile import Query, _execute
 
+_SHUTDOWN = object()
+
+
+class _Snapshot:
+    """Immutable view a request is served against: host id-index + device
+    tables captured together (so a concurrent table rebuild can never remap
+    rows under an in-flight request)."""
+
+    __slots__ = ("index", "tables")
+
+    def __init__(self, index, tables):
+        self.index = index
+        self.tables = tables
+
+
+class _Pending:
+    __slots__ = ("ids", "event", "result", "error", "t0")
+
+    def __init__(self, ids: np.ndarray):
+        self.ids = ids
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[BaseException] = None
+        self.t0 = time.perf_counter()
+
 
 class InstalledQuery:
     def __init__(self, service: "QueryService", qid: int, query: Query,
@@ -37,30 +73,103 @@ class InstalledQuery:
         self.qid = qid
         self.query = query
         self.micro_batch = micro_batch
-        self._tables = query.device_tables()
+        src = query.source
+        if src.kind != "source_v":
+            raise InvalidArgumentError("serving expects a V() query")
         self._fn = jax.jit(lambda t, s, k: _execute(query, t, s, k))
         self._key = jax.random.key(conf.seed)
+        self._snap = self._build_snapshot()
         self.latencies: List[float] = []
         self.served = 0
+        self._first_t: Optional[float] = None
+        self._last_t: Optional[float] = None
+        self._queue: "queue.SimpleQueue" = queue.SimpleQueue()
+        self._worker = threading.Thread(
+            target=self._serve_loop, name=f"glt-serve-q{qid}", daemon=True)
+        self._worker.start()
+
+    # -- snapshot lifecycle ------------------------------------------------
+    def _build_snapshot(self) -> _Snapshot:
+        ns = self.query.graph.store.node_set(self.query.source.node_type)
+        base = self.query.graph.store.node_table(ns.base_type)
+        return _Snapshot(base.index, self.query.device_tables())
 
     def refresh(self):
-        """Pick up applied graph updates (re-upload tables)."""
+        """Pick up applied graph updates.
+
+        Builds the next snapshot (host index + fresh device upload) while
+        requests continue against the current one, then swaps atomically.
+        """
         for t in self.query.graph.store.nodes.values():
             t._device = None
         for t in self.query.graph.store.edges.values():
             t._device = None
-        self._tables = self.query.device_tables()
+        self._snap = self._build_snapshot()
 
+    def close(self):
+        self._queue.put(_SHUTDOWN)
+        self._worker.join(timeout=5)
+
+    # -- request path ------------------------------------------------------
     def run(self, ids: np.ndarray):
-        """Serve a batch of raw seed ids -> {alias: value} (padded run)."""
-        t0 = time.perf_counter()
-        ids = np.asarray(ids, np.int64)
-        src = self.query.source
-        if src.kind != "source_v":
-            raise InvalidArgumentError("serving expects a V() query")
-        ns = self.query.graph.store.node_set(src.node_type)
-        base = self.query.graph.store.node_table(ns.base_type)
-        idx = base.index.lookup(ids)
+        """Serve raw seed ids -> {alias: value}.  Thread-safe; concurrent
+        callers are coalesced into shared device launches."""
+        p = _Pending(np.asarray(ids, np.int64).reshape(-1))
+        self._queue.put(p)
+        p.event.wait()
+        if p.error is not None:
+            raise p.error
+        return p.result
+
+    def _serve_loop(self):
+        while self._serve_once():
+            pass
+
+    def _serve_once(self) -> bool:
+        """One dispatcher round: drain pending requests -> one launch."""
+        first = self._queue.get()
+        if first is _SHUTDOWN:
+            return False
+        batch = [first]
+        total = first.ids.size
+        # drain everything already queued — one launch serves them all
+        while total < self.micro_batch:
+            try:
+                nxt = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is _SHUTDOWN:
+                self._queue.put(_SHUTDOWN)
+                break
+            batch.append(nxt)
+            total += nxt.ids.size
+        try:
+            out = self._execute_batch(
+                np.concatenate([p.ids for p in batch]))
+            off = 0
+            for p in batch:
+                ln = p.ids.size
+                lo = off
+                p.result = jax.tree.map(
+                    lambda x: x[lo:lo + ln]
+                    if hasattr(x, "shape") and x.shape else x, out)
+                off += ln
+        except BaseException as e:  # deliver, don't kill the worker
+            for p in batch:
+                p.error = e
+        now = time.perf_counter()
+        if self._first_t is None:
+            self._first_t = now
+        self._last_t = now
+        for p in batch:
+            self.latencies.append(now - p.t0)
+            self.served += p.ids.size
+            p.event.set()
+        return True
+
+    def _execute_batch(self, ids: np.ndarray):
+        snap = self._snap  # one immutable snapshot for the whole request
+        idx = snap.index.lookup(ids)
         n = idx.size
         mb = self.micro_batch
         outs = []
@@ -70,7 +179,7 @@ class InstalledQuery:
             if pad:
                 chunk = np.pad(chunk, (0, pad), mode="edge")
             self._key, sub = jax.random.split(self._key)
-            outs.append(self._fn(self._tables,
+            outs.append(self._fn(snap.tables,
                                  jnp.asarray(chunk, jnp.int32), sub))
         out = outs[0] if len(outs) == 1 else jax.tree.map(
             lambda *xs: jnp.concatenate(xs, axis=0), *outs)
@@ -78,19 +187,19 @@ class InstalledQuery:
             lambda x: x[:n] if hasattr(x, "shape") and x.shape
             and x.shape[0] >= n else x, out)
         jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
-        self.latencies.append(dt)
-        self.served += n
         return out
 
     def stats(self) -> Dict[str, float]:
         lat = np.asarray(self.latencies[1:] or self.latencies)
         if lat.size == 0:
             return {}
+        wall = max((self._last_t or 0) - (self._first_t or 0), 1e-9)
         return {
             "p50_ms": float(np.percentile(lat, 50) * 1e3),
             "p99_ms": float(np.percentile(lat, 99) * 1e3),
-            "qps": float(self.served / max(np.sum(lat), 1e-9)),
+            # QPS over the serving wall-clock window — honest under
+            # concurrent clients (sum-of-latencies would overcount)
+            "qps": float(self.served / wall),
         }
 
 
@@ -117,3 +226,8 @@ class QueryService:
 
     def stats(self, qid: int) -> Dict[str, float]:
         return self._queries[qid].stats()
+
+    def close(self):
+        for q in self._queries.values():
+            q.close()
+        self._queries.clear()

@@ -212,3 +212,118 @@ def test_expire_edges_ttl(tmp_path):
     # nodes 0..3 fully expired -> default neighbor fill (id 0)
     ids = np.asarray(out["h"].ids)
     assert np.all(ids[:4] == 0)
+
+
+def test_coalescer_batches_concurrent_requests(g):
+    """Pending requests drain into ONE device launch (the device analogue
+    of DGS's actor mailbox batching, serving_actor.act.h:29)."""
+    from graph_learn_tpu.online.serving import _Pending
+    q = (g.V("item").batch(4).alias("src")
+         .outV("rel").sample(3).by("topk").alias("h1").values())
+    svc = QueryService(g)
+    qid = svc.install(q, micro_batch=16)
+    iq = svc._queries[qid]
+    iq.close()  # stop the live worker; drive _serve_once by hand
+    calls = []
+    orig = iq._execute_batch
+    iq._execute_batch = lambda ids: (calls.append(ids.size), orig(ids))[1]
+    pend = [_Pending(np.array([i * 10, i * 10 + 10], np.int64))
+            for i in range(3)]
+    for p in pend:
+        iq._queue.put(p)
+    assert iq._serve_once()  # one round
+    assert calls == [6]  # 3 requests x 2 ids -> one 6-id launch
+    for i, p in enumerate(pend):
+        assert p.error is None
+        got = np.asarray(p.result["src"].ids)
+        assert got.shape == (2,)
+        # each caller got exactly its own slice back
+        assert list(np.asarray(p.result["h1"].ids).shape) == [2, 3]
+    assert len(iq.latencies) == 3 and iq.served == 6
+
+
+def test_refresh_is_copy_on_write(g):
+    """refresh() swaps an immutable snapshot; in-flight requests keep the
+    old one (DGS snapshot isolation under streaming ingest)."""
+    q = (g.V("item").batch(4).alias("src")
+         .outV("rel").sample(3).by("topk").alias("h1").values())
+    svc = QueryService(g)
+    qid = svc.install(q, micro_batch=8)
+    iq = svc._queries[qid]
+    snap0 = iq._snap
+    out0 = svc.run(qid, np.array([100]))
+    buf = UpdateBuffer()
+    buf.add_edges("rel", src_ids=[100, 100], dst_ids=[390, 380],
+                  weights=[9.0, 8.0])
+    apply_updates(g, buf)
+    svc.refresh()
+    assert iq._snap is not snap0  # new snapshot object
+    # old snapshot still evaluates (COW: nothing was mutated in place)
+    old_out = iq._fn(snap0.tables,
+                     np.full((8,), 10, np.int32), iq._key)
+    assert np.asarray(old_out["h1"].ids).shape == (8, 3)
+    out1 = svc.run(qid, np.array([100]))
+    top = set(np.asarray(out1["h1"].ids)[0].tolist())
+    assert {39, 38} <= top  # new heavy edges dominate topk
+    assert set(np.asarray(out0["h1"].ids)[0].tolist()) != top
+    svc.close()
+
+
+def test_concurrent_clients_with_streaming_updates(g):
+    """>= 8 concurrent clients on one installed query while updates stream
+    through /admin/update + /admin/refresh.  Reads are never blocked by
+    admin work and every response equals the deterministic (topk) oracle
+    for ids the updates do not touch."""
+    import threading
+    from graph_learn_tpu.online.http import ServingClient, ServingServer
+
+    srv = ServingServer(g).start()
+    try:
+        c = ServingClient("http://%s:%d" % (srv.host, srv.port))
+        q = (g.V("item").batch(4).alias("src")
+             .outV("rel").sample(3).by("topk").alias("h1").values())
+        qid = c.install(q, micro_batch=32)
+        # oracle: deterministic topk answer per id (ids never updated)
+        ids = [100, 110, 120, 130, 140, 150, 160, 170]
+        oracle = {i: c.run(qid, [i])["h1"]["ids"][0] for i in ids}
+
+        errors = []
+        done = threading.Event()
+
+        def client(tid):
+            cc = ServingClient("http://%s:%d" % (srv.host, srv.port))
+            try:
+                for r in range(6):
+                    i = ids[(tid + r) % len(ids)]
+                    out = cc.run(qid, [i])
+                    if out["h1"]["ids"][0] != oracle[i]:
+                        errors.append((tid, i, out["h1"]["ids"][0]))
+            except Exception as e:
+                errors.append((tid, repr(e)))
+
+        def updater():
+            cc = ServingClient("http://%s:%d" % (srv.host, srv.port))
+            k = 0
+            while not done.is_set() and k < 20:
+                # touch only node 0's neighborhood — oracle ids unaffected
+                cc.update(edges={"rel": {"src_ids": [0],
+                                         "dst_ids": [(k * 10) % 390],
+                                         "weights": [5.0 + k]}})
+                cc.refresh()
+                k += 1
+
+        threads = [threading.Thread(target=client, args=(t,))
+                   for t in range(8)]
+        upd = threading.Thread(target=updater)
+        upd.start()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        done.set()
+        upd.join(timeout=120)
+        assert not errors, errors[:5]
+        st = c.stats(qid)
+        assert st["p99_ms"] > 0 and st["qps"] > 0
+    finally:
+        srv.stop()
