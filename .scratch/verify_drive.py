@@ -86,3 +86,20 @@ if os.path.exists("/tmp/gslc"):
         print("CPP CLIENT OK")
     finally:
         srv2.stop()
+
+# remote-filesystem boundary: ingest the same tables over http://
+import functools, http.server, threading
+os.environ.setdefault("GLT_FS_CACHE", tempfile.mkdtemp())
+h = functools.partial(http.server.SimpleHTTPRequestHandler, directory=d)
+httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), h)
+threading.Thread(target=httpd.serve_forever, daemon=True).start()
+base = "http://127.0.0.1:%d" % httpd.server_address[1]
+g2 = (gl.Graph()
+      .node(base + "/nodes", "paper",
+            gl.Decoder(labeled=True, attr_types=["float"] * 4))
+      .edge(base + "/edges", ("paper", "paper", "cites"),
+            gl.Decoder(weighted=True))
+      .init())
+assert g2.get_stats()["nodes"]["paper"] == 30
+httpd.shutdown()
+print("HTTP FS OK")

@@ -234,3 +234,69 @@ def test_filesystem_registry(tmp_graph_dir, tmp_path):
 
     with pytest.raises(NotFoundError):
         (gl.Graph().node("hdfs://nope/table", "x", gl.Decoder())).init()
+
+
+def test_http_filesystem_ingest(tmp_graph_dir, tmp_path, monkeypatch):
+    """Real remote scheme: ingest over http:// from a local test server,
+    with ETag revalidation on re-fetch (reference capability:
+    hadoop_file_system.cc:69-86 remote sources via libhdfs)."""
+    import functools
+    import http.server
+    import threading
+
+    import graph_learn_tpu as gl
+    from graph_learn_tpu.core.filesystem import http_fetch, resolve_path
+
+    monkeypatch.setenv("GLT_FS_CACHE", str(tmp_path / "fscache"))
+    handler = functools.partial(http.server.SimpleHTTPRequestHandler,
+                                directory=str(tmp_graph_dir["dir"]))
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = "http://127.0.0.1:%d" % port
+        g = gl.Graph()
+        g.node(base + "/node_table", node_type="item",
+               decoder=gl.Decoder(weighted=True, labeled=True,
+                                  attr_types=["float"] * 4))
+        g.edge(base + "/edge_table", edge_type=("item", "item", "rel"),
+               decoder=gl.Decoder(weighted=True))
+        g.init()
+        assert g.get_stats()["nodes"]["item"] == tmp_graph_dir["n"]
+        assert g.get_stats()["edges"]["rel"] == len(tmp_graph_dir["edge_list"])
+
+        # second resolve hits the revalidation path (SimpleHTTPRequestHandler
+        # honors If-Modified-Since with 304) and returns the same cache file
+        p1 = resolve_path(base + "/node_table")
+        p2 = http_fetch(base + "/node_table")
+        assert p1 == p2
+        assert open(p1).readline().startswith("id:")
+    finally:
+        httpd.shutdown()
+
+
+def test_http_filesystem_missing(tmp_path, monkeypatch):
+    import graph_learn_tpu as gl
+    from graph_learn_tpu.core.filesystem import resolve_path
+    monkeypatch.setenv("GLT_FS_CACHE", str(tmp_path / "fscache"))
+    import http.server
+    import threading
+    httpd = http.server.ThreadingHTTPServer(
+        ("127.0.0.1", 0), http.server.SimpleHTTPRequestHandler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        with pytest.raises(gl.NotFoundError, match="404"):
+            resolve_path("http://127.0.0.1:%d/definitely_missing" % port)
+    finally:
+        httpd.shutdown()
+
+
+def test_hdfs_dlopen_hook():
+    """No libhdfs in this image -> the dlopen hook raises the same
+    actionable error the reference does on a Hadoop-less host."""
+    import graph_learn_tpu as gl
+    from graph_learn_tpu.core.filesystem import resolve_path
+    with pytest.raises(gl.NotFoundError, match="libhdfs"):
+        resolve_path("hdfs://namenode:9000/data/nodes.tsv")
