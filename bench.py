@@ -11,6 +11,10 @@ driver).  vs_baseline is the ratio against a CPU run of the same pipeline
 Env:
   GLT_BENCH_SMALL=1   shrink workload (CI smoke)
   GLT_PLATFORM=cpu    run the main measurement on CPU too
+  GLT_USE_PALLAS=1    route hop feature gathers + embedding_agg through
+                      the Pallas kernels (conf.use_pallas) — exercises the
+                      kernel path on hardware; XLA default wins on
+                      uniform-random access (see ops/pallas/dispatch.py)
 """
 
 import json
@@ -199,6 +203,8 @@ def main():
     ensure_platform()
     from graph_learn_tpu.config import conf
     conf.feature_dtype = "bfloat16"  # TPU-native: halves gather traffic
+    if os.environ.get("GLT_USE_PALLAS") == "1":
+        conf.use_pallas = True
     eps = run_bench(CFG)
     base = cpu_baseline(CFG)
     print(json.dumps({

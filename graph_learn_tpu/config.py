@@ -49,11 +49,15 @@ class _Config:
     # dtype for float features / activations on device
     feature_dtype: str = "float32"
     compute_dtype: str = "float32"
-    # Use Pallas kernels where available (else XLA segment ops).
-    # Default False: measured on TPU v5e, XLA's vectorised gather (40-50
-    # GB/s) beats the per-row-DMA Pallas gather (~10 GB/s, DMA-issue
-    # bound at ~50ns/row).  The kernels remain for the round-2
-    # locality-bucketed design.
+    # Route hop feature gathers (ops/lookup.py) and embedding_agg
+    # (ops/aggregate.py) through the Pallas kernels in ops/pallas/
+    # (hardware-validated; GLT_USE_PALLAS=1 bench.py exercises them on
+    # the chip).  Default False: measured on TPU v5e, XLA's vectorised
+    # row gather runs at ~75% of the 4KB-tile-traffic speed of light on
+    # uniform-random access, while per-row DMA issue is bound at
+    # ~50ns/row — the kernel path wins only in the locality-bucketed
+    # regime (community graphs relabeled by core/reorder.py).  See
+    # ops/pallas/dispatch.py.
     use_pallas: bool = False
     # --- distributed ---------------------------------------------------
     # number of graph shards (mesh axis 'graph'); 1 = single device store

@@ -5,9 +5,10 @@ Parity with the reference aggregator operators
 {sum,mean,max,min,prod}_aggregator.cc; exposed as ``Nodes.embedding_agg``
 in python/data/values.py:346-380).
 
-On TPU these are jax.ops.segment_* reductions — already fused by XLA; the
-Pallas SpMM path (ops/pallas/spmm.py) covers the CSR-gather variant used by
-model layers.
+On TPU these are jax.ops.segment_* reductions — already fused by XLA.
+``embedding_agg`` routes to the Pallas double-buffered DMA kernel
+(ops/pallas/spmm.py) under ``conf.use_pallas``, which skips the
+[b, cap, D] HBM gather intermediate the XLA formulation materialises.
 """
 
 from __future__ import annotations
@@ -42,6 +43,14 @@ def embedding_agg(float_attrs: jax.Array, ids: jax.Array, degrees: jax.Array,
     Equivalent of ``SparseNodes.embedding_agg`` (values.py:346-380): one
     vector per seed, reduced over its (masked) neighbor slots.
     """
+    from graph_learn_tpu.config import conf
+    if conf.use_pallas and op in ("sum", "mean", "max", "min") \
+            and float_attrs.ndim == 2 and float_attrs.shape[1] % 128 == 0:
+        import jax as _jax
+
+        from graph_learn_tpu.ops.pallas.spmm import segment_spmm
+        return segment_spmm(float_attrs, ids, degrees, agg=op,
+                            interpret=_jax.default_backend() != "tpu")
     b, cap = ids.shape
     feats = float_attrs[jnp.clip(ids, 0, float_attrs.shape[0] - 1)]
     mask = (jnp.arange(cap, dtype=jnp.int32)[None, :] < degrees[:, None])

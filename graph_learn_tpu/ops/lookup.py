@@ -25,6 +25,11 @@ from graph_learn_tpu.core.values import Nodes, SparseNodes
 def _g(arr: Optional[jax.Array], idx: jax.Array):
     if arr is None:
         return None
+    if arr.ndim == 2:
+        # feature-row gather — the framework's hottest memory op;
+        # conf.use_pallas routes it onto the row-streaming kernel
+        from graph_learn_tpu.ops.pallas.dispatch import feature_gather
+        return feature_gather(arr, idx)
     safe = jnp.clip(idx, 0, arr.shape[0] - 1)
     return arr[safe]
 

@@ -1,0 +1,51 @@
+"""Routing layer: conf.use_pallas gates hot ops onto Pallas kernels.
+
+The product call sites (ops/lookup.py feature gathers; ops/aggregate.py
+``embedding_agg`` routes itself) go through these wrappers; with
+``conf.use_pallas = False`` (the default) they lower to plain XLA ops,
+with ``True`` they run the hand-written kernels (hardware-validated in
+tests/test_pallas.py and by ``GLT_USE_PALLAS=1 python bench.py``).
+
+Why default-off: measured on a real v5e chip, XLA's vectorised row gather
+runs at ~75% of the 4KB-tile-traffic speed of light (each random row
+access fetches a full (16, 128) bf16 tile regardless of implementation),
+while the per-row-DMA kernel is DMA-issue-bound at ~50 ns/row — XLA wins
+on uniform-random access.  The Pallas path exists for (a) capability
+parity with the reference's native operator layer and (b) the
+locality-bucketed regime: community-structured graphs relabeled by
+core/reorder.py put multiple needed rows in one tile, which a kernel can
+exploit but XLA's gather cannot.  segment_spmm additionally avoids
+materialising the [b, cap, D] gather intermediate that the XLA
+formulation writes to HBM when cap is large.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from graph_learn_tpu.config import conf
+
+
+def _interpret() -> bool:
+    # compiled Mosaic kernels only exist on TPU; anywhere else (CPU tests,
+    # dryrun meshes) the same kernels run in interpret mode
+    return jax.default_backend() != "tpu"
+
+
+def feature_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """table[idx] for 2D float tables; Pallas row-streaming under the flag.
+
+    idx may have any shape; result shape = idx.shape + (D,).
+    """
+    if (not conf.use_pallas or table.ndim != 2
+            or table.dtype == jnp.int64):
+        safe = jnp.clip(idx, 0, table.shape[0] - 1)
+        return table[safe]
+    from graph_learn_tpu.ops.pallas.gather import _CHUNK, gather_rows
+    if idx.size < _CHUNK:  # grid would be all padding — XLA is faster
+        safe = jnp.clip(idx, 0, table.shape[0] - 1)
+        return table[safe]
+    flat = jnp.clip(idx.reshape(-1), 0, table.shape[0] - 1)
+    out = gather_rows(table, flat, interpret=_interpret())
+    return out.reshape(idx.shape + (table.shape[1],))

@@ -26,10 +26,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _spmm_kernel(ids_ref, deg_ref, feats_hbm, out_ref, acc, buf, sems,
                  *, cap, agg):
-    deg = deg_ref[0]
+    i = pl.program_id(0)
+    deg = deg_ref[i]
 
     def get_dma(slot, c):
-        idx = ids_ref[c]
+        idx = ids_ref[i * cap + c]
         return pltpu.make_async_copy(
             feats_hbm.at[idx], buf.at[slot], sems.at[slot])
 
@@ -77,16 +78,17 @@ def segment_spmm(feats: jax.Array, ids: jax.Array, degrees: jax.Array,
     """feats [N, D], ids [b, cap] int32, degrees [b] -> [b, D]."""
     b, cap = ids.shape
     n, d = feats.shape
+    # ids/degrees travel as scalar-prefetch args: fully SMEM-resident and
+    # available before the body — Mosaic rejects narrow blocked SMEM specs
+    # ((1, cap) blocks), which is what crashed the round-1 variant on
+    # real hardware.
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=2,
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, cap), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # feats stay in HBM
         ],
-        out_specs=pl.BlockSpec((1, d), lambda i: (i, 0)),
+        out_specs=pl.BlockSpec((1, d), lambda i, *_: (i, 0)),
         scratch_shapes=[
             pltpu.VMEM((1, d), jnp.float32),
             pltpu.VMEM((2, d), jnp.float32),
@@ -95,7 +97,7 @@ def segment_spmm(feats: jax.Array, ids: jax.Array, degrees: jax.Array,
     )
 
     def kernel(ids_ref, deg_ref, feats_hbm, out_ref, acc, buf, sems):
-        _spmm_kernel(ids_ref.at[0], deg_ref, feats_hbm, out_ref, acc, buf,
+        _spmm_kernel(ids_ref, deg_ref, feats_hbm, out_ref, acc, buf,
                      sems, cap=cap, agg=agg)
 
     return pl.pallas_call(
@@ -103,7 +105,7 @@ def segment_spmm(feats: jax.Array, ids: jax.Array, degrees: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, d), feats.dtype),
         interpret=interpret,
-    )(ids.astype(jnp.int32), degrees.astype(jnp.int32), feats)
+    )(ids.reshape(-1).astype(jnp.int32), degrees.astype(jnp.int32), feats)
 
 
 def segment_spmm_xla(feats, ids, degrees, agg="sum"):
