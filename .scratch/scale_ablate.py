@@ -53,7 +53,7 @@ ego0 = EgoGraph.from_query_result(b0, "src", ["hop1", "hop2"])
 params = model.init(jax.random.key(0), ego0, training=False)
 opt = optax.adam(1e-3)
 opt_state = opt.init(params)
-K = 10
+K = 50
 
 
 def scan_run(name, body, reps=3):
@@ -105,7 +105,7 @@ def sample_feats_raw(k):
             + jnp.sum(batch["hop2"].raw_ids.astype(jnp.float32))
             + jnp.sum(batch["hop2"].labels.astype(jnp.float32))) * 0
 
-scan_run("…+ hop2 raw_ids+labels (no DCE)", sample_feats_raw)
+
 
 state = {"p": params, "o": opt_state}
 
