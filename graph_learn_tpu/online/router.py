@@ -48,13 +48,16 @@ class RateLimiter:
 
     def __init__(self, target_p99_ms: float = 20.0,
                  max_updates_per_s: float = 100.0,
-                 min_updates_per_s: float = 1.0):
+                 min_updates_per_s: float = 1.0,
+                 adjust_interval_s: float = 1.0):
         self.target = target_p99_ms
         self.max_rate = max_updates_per_s
         self.min_rate = min_updates_per_s
         self.rate = max_updates_per_s
+        self.adjust_interval = adjust_interval_s
         self._lat: List[float] = []
         self._last_admit = 0.0
+        self._last_adjust = time.monotonic()
         self._lock = threading.Lock()
 
     def observe_latency(self, ms: float):
@@ -63,7 +66,14 @@ class RateLimiter:
             if len(self._lat) > 256:
                 self._lat = self._lat[-256:]
 
-    def _adjust(self):
+    def _adjust(self, now: float):
+        """One AIMD step.  Runs on a FIXED wall-clock interval — never per
+        admit() poll — so the control law's time constant is independent
+        of caller polling frequency (the reference's AdaptiveRateLimiter
+        is likewise interval-driven, adaptive_rate_limiter.h:30)."""
+        if now - self._last_adjust < self.adjust_interval:
+            return
+        self._last_adjust = now
         if not self._lat:
             return
         p99 = float(np.percentile(np.asarray(self._lat[-64:]), 99))
@@ -75,8 +85,8 @@ class RateLimiter:
     def admit(self) -> bool:
         """True if an update may be applied now (token at current rate)."""
         with self._lock:
-            self._adjust()
             now = time.monotonic()
+            self._adjust(now)
             if now - self._last_admit >= 1.0 / max(self.rate, 1e-6):
                 self._last_admit = now
                 return True
@@ -101,6 +111,19 @@ class ServingRouter:
         self._qids: Dict[int, List[int]] = {}
         self._next = 0
         self._paused = threading.Event()  # set = updates barred (barrier)
+        # in-flight run()/update() calls, drained by barrier()
+        self._inflight = 0
+        self._quiesce = threading.Condition()
+
+    def _enter_flight(self):
+        with self._quiesce:
+            self._inflight += 1
+
+    def _exit_flight(self):
+        with self._quiesce:
+            self._inflight -= 1
+            if self._inflight == 0:
+                self._quiesce.notify_all()
 
     # -- query plane -----------------------------------------------------
     def install(self, query_or_plan, micro_batch: int = 256) -> int:
@@ -122,6 +145,15 @@ class ServingRouter:
         if qid not in self._qids:
             raise NotFoundError("unknown qid %r" % qid)
         ids = np.asarray(ids, np.int64).reshape(-1)
+        if ids.size == 0:
+            return {}
+        self._enter_flight()
+        try:
+            return self._run_stitched(qid, ids)
+        finally:
+            self._exit_flight()
+
+    def _run_stitched(self, qid: int, ids: np.ndarray) -> dict:
         owners = np.array([self._owner(v) for v in ids])
         t0 = time.perf_counter()
         parts: Dict[int, dict] = {}
@@ -130,31 +162,30 @@ class ServingRouter:
             parts[int(w)] = self.workers[int(w)].run(
                 self._qids[qid][int(w)], sub)
         self.limiter.observe_latency((time.perf_counter() - t0) * 1e3)
-        # stitch: per alias, re-interleave rows to the original order
-        out: dict = {}
-        first = parts[int(owners[0])]
+        # stitch: re-interleave per-worker rows to the original request
+        # order. order[r] = (owner, row index within that owner's reply).
         pos_in_part = {int(w): 0 for w in parts}
         order = []
-        for v, w in zip(ids, owners):
+        for w in owners:
             order.append((int(w), pos_in_part[int(w)]))
             pos_in_part[int(w)] += 1
 
-        def stitch(field_path, values_by_worker):
-            rows = []
-            for w, i in order:
-                rows.append(values_by_worker[w][i])
-            return rows
+        def stitch(by_worker):
+            """Recursive merge: every list is per-request-row (the plan
+            is seed-aligned end to end — including nested src_nodes/
+            dst_nodes payloads of outE/E aliases); dicts recurse;
+            anything else is a per-query constant."""
+            sample = next(iter(by_worker.values()))
+            if isinstance(sample, dict):
+                return {k: stitch({w: t[k] for w, t in by_worker.items()})
+                        for k in sample}
+            if isinstance(sample, list):
+                return [by_worker[w][i] for w, i in order]
+            return sample
 
-        for alias in first:
-            out[alias] = {}
-            for field, val in first[alias].items():
-                if isinstance(val, list):
-                    out[alias][field] = stitch(
-                        (alias, field), {w: parts[w][alias][field]
-                                         for w in parts})
-                else:
-                    out[alias][field] = val
-        return out
+        first = parts[int(owners[0])]
+        return {alias: stitch({w: parts[w][alias] for w in parts})
+                for alias in first}
 
     # -- update plane ------------------------------------------------------
     def update(self, nodes: Optional[dict] = None,
@@ -165,18 +196,30 @@ class ServingRouter:
         rejected immediately (DGS would leave it in Kafka — here the
         caller's buffer is the durable log, online/update.py UpdateLog).
         """
-        if self._paused.is_set():
-            if not wait:
-                return {"applied": False, "reason": "barrier"}
-            while self._paused.is_set():
-                time.sleep(0.005)
-        while not self.limiter.admit():
-            if not wait:
-                return {"applied": False, "reason": "throttled"}
-            time.sleep(0.002)
-        for w in self.workers:
-            w.update(nodes=nodes, edges=edges)
-        return {"applied": True}
+        while True:
+            if self._paused.is_set():
+                if not wait:
+                    return {"applied": False, "reason": "barrier"}
+                while self._paused.is_set():
+                    time.sleep(0.005)
+            while not self.limiter.admit():
+                if not wait:
+                    return {"applied": False, "reason": "throttled"}
+                time.sleep(0.002)
+            self._enter_flight()
+            try:
+                if self._paused.is_set():
+                    # barrier raced in after the pause check: back off and
+                    # retry rather than land an update after the barrier's
+                    # drain (a checkpoint may be recording offsets)
+                    if not wait:
+                        return {"applied": False, "reason": "barrier"}
+                    continue
+                for w in self.workers:
+                    w.update(nodes=nodes, edges=edges)
+                return {"applied": True}
+            finally:
+                self._exit_flight()
 
     def refresh(self):
         for w in self.workers:
@@ -204,6 +247,12 @@ class ServingRouter:
         class _Barrier:
             def __enter__(self):
                 router._paused.set()
+                # drain: in-flight updates/queries finish before the
+                # fleet is declared quiescent (so a checkpoint's offsets
+                # can't miss an update that was already past the gate)
+                with router._quiesce:
+                    router._quiesce.wait_for(
+                        lambda: router._inflight == 0, timeout=60)
                 return self
 
             def __exit__(self, *a):

@@ -76,6 +76,13 @@ class InstalledQuery:
         src = query.source
         if src.kind != "source_v":
             raise InvalidArgumentError("serving expects a V() query")
+        # SubGraph outputs are NOT seed-aligned (node_ids is a dedup-union
+        # over the whole merged batch, edge_index is [2, E_cap]) — slicing
+        # them by per-caller seed offsets would hand one client data
+        # induced from another client's seeds.  Detect at install time and
+        # serve such queries one launch per request, unsliced.
+        self._seed_aligned = not any(
+            n.kind == "subgraph" for n in query.dag.nodes)
         self._fn = jax.jit(lambda t, s, k: _execute(query, t, s, k))
         self._key = jax.random.key(conf.seed)
         self._snap = self._build_snapshot()
@@ -133,7 +140,9 @@ class InstalledQuery:
         batch = [first]
         total = first.ids.size
         # drain everything already queued — one launch serves them all
-        while total < self.micro_batch:
+        # (seed-aligned outputs only; subGraph queries can't be sliced
+        # back per caller, so they get a dedicated launch each)
+        while self._seed_aligned and total < self.micro_batch:
             try:
                 nxt = self._queue.get_nowait()
             except queue.Empty:
@@ -143,27 +152,35 @@ class InstalledQuery:
                 break
             batch.append(nxt)
             total += nxt.ids.size
+        # anchor the QPS window at the START of the first round so a
+        # single round reports work/duration, not work/epsilon
+        if self._first_t is None:
+            self._first_t = time.perf_counter()
+        ok = False
         try:
             out = self._execute_batch(
                 np.concatenate([p.ids for p in batch]))
-            off = 0
-            for p in batch:
-                ln = p.ids.size
-                lo = off
-                p.result = jax.tree.map(
-                    lambda x: x[lo:lo + ln]
-                    if hasattr(x, "shape") and x.shape else x, out)
-                off += ln
+            if not self._seed_aligned:
+                batch[0].result = out  # single request, no slicing
+            else:
+                off = 0
+                for p in batch:
+                    ln = p.ids.size
+                    lo = off
+                    p.result = jax.tree.map(
+                        lambda x: x[lo:lo + ln]
+                        if hasattr(x, "shape") and x.shape else x, out)
+                    off += ln
+            ok = True
         except BaseException as e:  # deliver, don't kill the worker
             for p in batch:
                 p.error = e
         now = time.perf_counter()
-        if self._first_t is None:
-            self._first_t = now
         self._last_t = now
         for p in batch:
-            self.latencies.append(now - p.t0)
-            self.served += p.ids.size
+            if ok:  # failed requests don't count as served work
+                self.latencies.append(now - p.t0)
+                self.served += p.ids.size
             p.event.set()
         return True
 
@@ -172,6 +189,27 @@ class InstalledQuery:
         idx = snap.index.lookup(ids)
         n = idx.size
         mb = self.micro_batch
+        if not self._seed_aligned:
+            # SubGraph outputs can't be concatenated across chunks (the
+            # node union / edge_index are batch-global), and edge-padding
+            # the seed list is harmless: induction is over the seed SET.
+            if n > mb:
+                raise InvalidArgumentError(
+                    "subGraph serving request of %d ids exceeds the "
+                    "installed micro_batch %d; install with a larger "
+                    "micro_batch or split the request" % (n, mb))
+            chunk = np.pad(idx, (0, mb - n), mode="edge") if n < mb else idx
+            self._key, sub = jax.random.split(self._key)
+            out = self._fn(snap.tables, jnp.asarray(chunk, jnp.int32), sub)
+            # trim the padding off seed-aligned aliases only; SubGraphVal
+            # aliases keep their batch-global (capped) shapes
+            from graph_learn_tpu.core.values import SubGraphVal
+            out = {a: v if isinstance(v, SubGraphVal) else jax.tree.map(
+                lambda x: x[:n] if hasattr(x, "shape") and x.shape
+                and x.shape[0] >= n else x, v)
+                for a, v in out.items()}
+            jax.block_until_ready(out)
+            return out
         outs = []
         for off in range(0, n, mb):
             chunk = idx[off:off + mb]

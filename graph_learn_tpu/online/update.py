@@ -186,12 +186,27 @@ class UpdateLog:
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
 
-    def replay(self, buf: UpdateBuffer):
+    def offset(self) -> int:
+        """Number of records durably appended so far — the checkpoint
+        mark (DGS records the Kafka ready-offset the same way,
+        python/coordinator/checkpoint.py:44-197)."""
+        if not os.path.exists(self.path):
+            return 0
+        with open(self.path) as f:
+            return sum(1 for _ in f)
+
+    def replay(self, buf: UpdateBuffer, start: int = 0, upto=None):
+        """Replay records [start, upto) into ``buf``; returns the count.
+
+        ``upto=None`` replays to the end; a checkpoint's recorded offset
+        passed as ``upto`` restores exactly the checkpointed state."""
         if not os.path.exists(self.path):
             return 0
         n = 0
         with open(self.path) as f:
-            for line in f:
+            for i, line in enumerate(f):
+                if i < start or (upto is not None and i >= upto):
+                    continue
                 rec = json.loads(line)
                 kind = rec.pop("kind")
                 t = rec.pop("type")

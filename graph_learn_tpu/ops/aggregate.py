@@ -45,11 +45,19 @@ def embedding_agg(float_attrs: jax.Array, ids: jax.Array, degrees: jax.Array,
     """
     from graph_learn_tpu.config import conf
     if conf.use_pallas and op in ("sum", "mean", "max", "min") \
-            and float_attrs.ndim == 2 and float_attrs.shape[1] % 128 == 0:
+            and float_attrs.ndim == 2 and float_attrs.shape[1] % 128 == 0 \
+            and jnp.issubdtype(float_attrs.dtype, jnp.floating):
         import jax as _jax
 
         from graph_learn_tpu.ops.pallas.spmm import segment_spmm
-        return segment_spmm(float_attrs, ids, degrees, agg=op,
+        # the kernel DMAs rows at ids[i, c] for c < deg[i] with no bounds
+        # checks — clip ids into the table and clamp degrees to cap so
+        # padded (-1) slots / overlong degrees can't trigger out-of-range
+        # HBM DMAs (the XLA path below masks these instead)
+        cap_ = ids.shape[1]
+        safe_ids = jnp.clip(ids, 0, float_attrs.shape[0] - 1)
+        safe_deg = jnp.clip(degrees, 0, cap_)
+        return segment_spmm(float_attrs, safe_ids, safe_deg, agg=op,
                             interpret=_jax.default_backend() != "tpu")
     b, cap = ids.shape
     feats = float_attrs[jnp.clip(ids, 0, float_attrs.shape[0] - 1)]

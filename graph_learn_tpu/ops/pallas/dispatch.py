@@ -38,8 +38,14 @@ def feature_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
 
     idx may have any shape; result shape = idx.shape + (D,).
     """
+    # Kernel eligibility: float rows with lane-aligned width only.  The
+    # per-row DMA path slices (1, D) blocks out of the tiled HBM layout;
+    # int32/int64 tables and lane-unaligned widths (D % 128 != 0, e.g.
+    # Cora's 1433) are rejected by Mosaic (see gather.py layout notes), so
+    # they always take XLA's gather.
     if (not conf.use_pallas or table.ndim != 2
-            or table.dtype == jnp.int64):
+            or not jnp.issubdtype(table.dtype, jnp.floating)
+            or table.shape[1] % 128 != 0):
         safe = jnp.clip(idx, 0, table.shape[0] - 1)
         return table[safe]
     from graph_learn_tpu.ops.pallas.gather import _CHUNK, gather_rows

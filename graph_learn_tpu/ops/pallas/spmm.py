@@ -68,7 +68,7 @@ def _spmm_kernel(ids_ref, deg_ref, feats_hbm, out_ref, acc, buf, sems,
         res = res / jnp.maximum(deg, 1).astype(res.dtype)
     if agg in ("max", "min"):
         res = jnp.where(jnp.isfinite(res), res, 0.0)
-    out_ref[...] = res.reshape(out_ref.shape)
+    out_ref[...] = res.reshape(out_ref.shape).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit,
@@ -90,8 +90,8 @@ def segment_spmm(feats: jax.Array, ids: jax.Array, degrees: jax.Array,
         ],
         out_specs=pl.BlockSpec((1, d), lambda i, *_: (i, 0)),
         scratch_shapes=[
-            pltpu.VMEM((1, d), jnp.float32),
-            pltpu.VMEM((2, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),  # accumulate in f32
+            pltpu.VMEM((2, d), feats.dtype),  # DMA buffer matches the table
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

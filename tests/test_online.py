@@ -327,3 +327,52 @@ def test_concurrent_clients_with_streaming_updates(g):
         assert st["p99_ms"] > 0 and st["qps"] > 0
     finally:
         srv.stop()
+
+
+def test_subgraph_serving_not_coalesced(g):
+    """SubGraph outputs are not seed-aligned (node union + edge_index are
+    batch-global) — concurrent clients must get dedicated launches, never
+    slices of a merged batch (which would leak other clients' seeds)."""
+    from graph_learn_tpu.online.serving import _Pending
+
+    q = (g.V("item").batch(4).alias("src")
+         .SubGraph("rel").alias("sg").values())
+    svc = QueryService(g)
+    qid = svc.install(q, micro_batch=16)
+    iq = svc._queries[qid]
+    assert iq._seed_aligned is False
+    # oracle: each id set served alone
+    a_ids = np.array([0, 10], np.int64)
+    b_ids = np.array([200, 210, 220], np.int64)
+    oracle_a = iq.run(a_ids)
+    oracle_b = iq.run(b_ids)
+    # drive a round with both pending: each must still get its own result
+    iq.close()
+    pa, pb = _Pending(a_ids), _Pending(b_ids)
+    iq._queue.put(pa)
+    iq._queue.put(pb)
+    assert iq._serve_once()  # serves ONLY pa (no coalescing)
+    assert pa.error is None and pb.result is None
+    assert iq._serve_once()
+    assert pb.error is None
+    na = int(pa.result["sg"].num_nodes)
+    assert na == int(oracle_a["sg"].num_nodes)
+    assert (np.asarray(pa.result["sg"].node_ids)[:na].tolist()
+            == np.asarray(oracle_a["sg"].node_ids)[:na].tolist())
+    nb = int(pb.result["sg"].num_nodes)
+    assert nb == int(oracle_b["sg"].num_nodes)
+    assert (np.asarray(pb.result["sg"].node_ids)[:nb].tolist()
+            == np.asarray(oracle_b["sg"].node_ids)[:nb].tolist())
+    # seed-aligned aliases of the same query are trimmed to the request
+    assert np.asarray(pa.result["src"].ids).shape[0] == 2
+    assert np.asarray(pb.result["src"].ids).shape[0] == 3
+
+
+def test_subgraph_serving_rejects_oversized_request(g):
+    q = (g.V("item").batch(4).alias("src")
+         .SubGraph("rel").alias("sg").values())
+    svc = QueryService(g)
+    qid = svc.install(q, micro_batch=4)
+    with pytest.raises(gl.InvalidArgumentError):
+        svc.run(qid, np.arange(8, dtype=np.int64) * 10)
+    svc.close()

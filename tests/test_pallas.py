@@ -85,3 +85,68 @@ def test_feature_gather_dispatch_kernel_size():
         conf.use_pallas = False
     assert out.shape == idx.shape + (128,)
     np.testing.assert_allclose(np.asarray(out), ref)
+
+
+def test_dispatch_guards_int_and_unaligned_tables():
+    """int32 attribute tables and lane-unaligned widths (Cora's D=1433)
+    must NOT route to the per-row-DMA kernel — Mosaic rejects partial DMA
+    slices of tiled int32 arrays (gather.py layout notes).  They fall back
+    to XLA and still produce clipped-correct results."""
+    from graph_learn_tpu.config import conf
+    from graph_learn_tpu.ops.pallas.dispatch import feature_gather
+
+    old = conf.use_pallas
+    conf.use_pallas = True
+    try:
+        idx = jnp.asarray(
+            np.r_[np.arange(4100) % 7, [-3, 99999]].astype(np.int32))
+        int_table = jnp.arange(7 * 128, dtype=jnp.int32).reshape(7, 128)
+        out = feature_gather(int_table, idx)
+        ref = int_table[jnp.clip(idx, 0, 6)]
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+        odd = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (7, 1433)).astype(np.float32))  # D % 128 != 0
+        out2 = feature_gather(odd, idx)
+        np.testing.assert_allclose(np.asarray(out2),
+                                   np.asarray(odd[jnp.clip(idx, 0, 6)]))
+    finally:
+        conf.use_pallas = old
+
+
+def test_embedding_agg_pallas_clips_bad_ids_and_degrees():
+    """-1 padded ids and deg > cap must be clipped before the kernel (no
+    out-of-range DMAs); results match the masked XLA formulation."""
+    from graph_learn_tpu.config import conf
+    from graph_learn_tpu.ops.aggregate import embedding_agg
+
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.standard_normal((20, 128)).astype(np.float32))
+    ids = np.array([[0, 1, 2, -1], [5, -1, -1, -1], [3, 4, 6, 7]], np.int32)
+    degs = np.array([3, 1, 99], np.int32)  # 99 > cap=4
+    old = conf.use_pallas
+    try:
+        conf.use_pallas = False
+        ref = embedding_agg(feats, jnp.asarray(np.maximum(ids, 0)),
+                            jnp.asarray(np.minimum(degs, 4)), op="mean")
+        conf.use_pallas = True
+        out = embedding_agg(feats, jnp.asarray(ids), jnp.asarray(degs),
+                            op="mean")
+    finally:
+        conf.use_pallas = old
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_segment_spmm_bfloat16_table():
+    """bf16 feature tables (conf.feature_dtype default on TPU) go through
+    the kernel with a bf16 DMA buffer + f32 accumulator."""
+    rng = np.random.default_rng(2)
+    feats32 = rng.standard_normal((30, 128)).astype(np.float32)
+    feats = jnp.asarray(feats32).astype(jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(0, 30, (4, 6)).astype(np.int32))
+    degs = jnp.asarray(np.array([6, 2, 0, 5], np.int32))
+    out = segment_spmm(feats, ids, degs, agg="sum", interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = segment_spmm_xla(feats.astype(jnp.float32), ids, degs, agg="sum")
+    np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
+                               np.asarray(ref), rtol=3e-2, atol=3e-2)
