@@ -45,17 +45,28 @@ def shard_tables(tables, mesh: Mesh):
     edges) shard row-wise over "graph"; CSR index arrays stay replicated in
     this scheme (edge-partitioned CSR with halo exchange is the
     parallel/partition.py scheme).  Row counts rarely divide the axis size,
-    so arrays that don't divide evenly are replicated instead.
+    so arrays that don't divide evenly are REPLICATED instead — a warning
+    reports how many bytes fell back, because per-device HBM does not
+    shrink for those arrays.  For true 1/P-per-device storage use the
+    range-partitioned store (parallel/sharded_store.build_sharded_tables),
+    which DistTrainer now selects automatically for large tables.
     """
+    import warnings
+
     ax = mesh.shape["graph"]
     repl = NamedSharding(mesh, P())
     rowsh = NamedSharding(mesh, P("graph"))
+    fell_back = [0, 0]  # bytes replicated due to non-divisible rows, count
 
     def place(x):
         if x is None:
             return None
         if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % ax == 0 and ax > 1:
             return jax.device_put(x, rowsh)
+        if (ax > 1 and hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1
+                and x.shape[0] % ax != 0):
+            fell_back[0] += getattr(x, "nbytes", 0)
+            fell_back[1] += 1
         return jax.device_put(x, repl)
 
     def place_repl(x):
@@ -67,6 +78,14 @@ def shard_tables(tables, mesh: Mesh):
     for t, et in tables["edges"].items():
         # CSR offsets must stay whole; payloads can row-shard
         out["edges"][t] = jax.tree.map(place_repl, et)
+    if fell_back[1]:
+        warnings.warn(
+            "shard_tables: %d array(s) (%.1f MiB) have row counts not "
+            "divisible by the graph axis (%d) and were REPLICATED on "
+            "every device; use parallel.sharded_store.build_sharded_tables "
+            "for true per-device partitioning"
+            % (fell_back[1], fell_back[0] / 2**20, ax),
+            stacklevel=2)
     return out
 
 

@@ -123,11 +123,21 @@ class DistTrainer:
     multi-process settings each process feeds its addressable shard (see
     tests/test_multiprocess.py for the make_array_from_single_device_
     arrays pattern).
+
+    Storage placement: when the mesh has a graph axis > 1 and the query's
+    tables exceed ``partition_above_bytes``, the RANGE-PARTITIONED store
+    is used (build_sharded_tables + make_partitioned_train_step — every
+    device holds 1/P of the payload).  Below the threshold, or when the
+    query uses a feature the partitioned path doesn't support yet, tables
+    are placed by parallel/mesh.shard_tables (which warns about any array
+    it has to replicate).
     """
 
-    def __init__(self, mesh: Mesh, seed: int = 0):
+    def __init__(self, mesh: Mesh, seed: int = 0,
+                 partition_above_bytes: int = 64 << 20):
         self.mesh = mesh
         self.seed = seed
+        self.partition_above_bytes = partition_above_bytes
 
     def train(self, query: Query, model, params, loss_fn: Callable,
               optimizer: optax.GradientTransformation, tables=None,
@@ -138,11 +148,33 @@ class DistTrainer:
         from graph_learn_tpu.errors import OutOfRangeError
 
         seed_sh = NamedSharding(self.mesh, P("data"))
+        run_step = None
         if tables is None:
-            from graph_learn_tpu.parallel.mesh import shard_tables
-            tables = shard_tables(query.device_tables(), self.mesh)
-        step = make_sharded_train_step(query, model, loss_fn, optimizer,
-                                       self.mesh)
+            gx = self.mesh.shape.get("graph", 1)
+            if gx > 1:
+                from graph_learn_tpu.errors import InvalidArgumentError
+                from graph_learn_tpu.parallel.sharded_store import (
+                    build_sharded_tables, estimate_query_table_bytes)
+                if (estimate_query_table_bytes(query)
+                        >= self.partition_above_bytes):
+                    try:
+                        stables = build_sharded_tables(query, gx).place(
+                            self.mesh)
+                        run_step = make_partitioned_train_step(
+                            query, model, loss_fn, optimizer, self.mesh,
+                            stables)
+                    except InvalidArgumentError as e:
+                        import warnings
+                        warnings.warn(
+                            "DistTrainer: falling back to replicated "
+                            "tables (%s)" % e, stacklevel=2)
+            if run_step is None:
+                from graph_learn_tpu.parallel.mesh import shard_tables
+                tables = shard_tables(query.device_tables(), self.mesh)
+        if run_step is None:
+            full_step = make_sharded_train_step(query, model, loss_fn,
+                                                optimizer, self.mesh)
+            run_step = lambda p, o, s, k: full_step(p, o, tables, s, k)
         opt_state = optimizer.init(params)
         size, space = query.source_space()
         trav = Traverser(size, query.dag.batch_size,
@@ -166,8 +198,8 @@ class DistTrainer:
                                    np.int32)
                 seeds = jax.device_put(jnp.asarray(seeds), seed_sh)
                 key, sub = jax.random.split(key)
-                params, opt_state, loss = step(params, opt_state, tables,
-                                               seeds, sub)
+                params, opt_state, loss = run_step(params, opt_state,
+                                                   seeds, sub)
                 losses.append(loss)
             mean = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
             history.append(mean)
