@@ -62,6 +62,16 @@ class _Config:
     # --- distributed ---------------------------------------------------
     # number of graph shards (mesh axis 'graph'); 1 = single device store
     graph_shards: int = 1
+    # partitioned-plan payload exchange: "owner" routes feature vectors to
+    # owning shards with all_to_all (O(n*D) bytes over the axis, result
+    # striped), "psum" replicates via the masked psum stitch (O(P*n*D))
+    # — the reference's DistributeRunner owner routing vs broadcast
+    # (core/runner/op_runner.h:60-152).  Both are exact.
+    partition_routing: str = "owner"
+    # owner-route bucket capacity factor: capacity per (sender, owner)
+    # bucket = max(ceil(n/P^2 * factor) + 8, 8).  Overflow stays exact via
+    # a psum fallback; larger factors trade bytes for fewer fallbacks.
+    owner_route_capacity: float = 2.0
     # reference: config.h KnnMetric: 0 = L2, 1 = inner product
     knn_metric: int = 0
     # --- misc ----------------------------------------------------------
@@ -105,3 +115,4 @@ set_seed = _make_setter("seed")
 set_use_pallas = _make_setter("use_pallas")
 set_storage_device = _make_setter("storage_device")
 set_graph_shards = _make_setter("graph_shards")
+set_partition_routing = _make_setter("partition_routing")

@@ -15,8 +15,8 @@ import jax
 import jax.numpy as jnp
 
 from graph_learn_tpu.core.sharding import (ShardedEdgeTable,
-                                           ShardedNodeTable, own_rows,
-                                           psum_owned)
+                                           ShardedNodeTable, defer_payload,
+                                           own_rows, psum_owned)
 from graph_learn_tpu.core.store import (DeviceCSR, DeviceEdgeTable,
                                         DeviceNodeTable)
 from graph_learn_tpu.core.values import Nodes, SparseNodes
@@ -49,6 +49,13 @@ def _field_getter(table, ids: jax.Array):
             arr = getattr(table.local, name)
             if arr is None:
                 return None
+            # payload vectors (ndim >= 2) take the owner-routed exchange
+            # when the partitioned plan enables it — O(n*D) bytes over the
+            # axis instead of the psum stitch's O(P*n*D)
+            routed = defer_payload(arr, table.rows_per_shard, table.axis,
+                                   ids)
+            if routed is not None:
+                return routed
             return psum_owned(arr[loc], own, table.axis)
 
         return g
@@ -96,7 +103,12 @@ def edge_payload(et: DeviceEdgeTable, edge_ids: jax.Array):
     idx = jnp.maximum(edge_ids, 0)
     if isinstance(et, ShardedEdgeTable):
         loc, own = own_rows(et.edges_per_shard, et.axis, idx)
-        getv = lambda arr: psum_owned(arr[loc], own, et.axis)
+
+        def getv(arr):
+            routed = defer_payload(arr, et.edges_per_shard, et.axis, idx)
+            if routed is not None:
+                return routed
+            return psum_owned(arr[loc], own, et.axis)
     else:
         getv = lambda arr: _g(arr, idx)
     out = {}

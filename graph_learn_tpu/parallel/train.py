@@ -21,32 +21,88 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from graph_learn_tpu.gsl.compile import Query, _execute
 
 
-def make_partitioned_plan(query: Query, mesh: Mesh, stables):
+def make_partitioned_plan(query: Query, mesh: Mesh, stables,
+                          routing: str = None):
     """Compile the GSL plan over a graph-axis-SHARDED store.
 
     Returns plan(seeds, key) -> {alias: value}: seeds sharded P('data'),
-    graph tables partitioned P('graph') (parallel/sharded_store.py), every
-    per-seed operator stitched with one psum inside shard_map
-    (core/sharding.py).  This is the TPU replacement for the reference's
-    distributed sampling service: graph size scales with device count
-    (reference: core/runner/op_runner.h:60-152 DistributeRunner).
+    graph tables partitioned P('graph') (parallel/sharded_store.py).
+    Id-sized results (sampled neighbor/edge ids, degrees, scalars) are
+    stitched with one psum; payload vectors (feature rows — the expensive
+    leaves) follow ``conf.partition_routing``:
+
+    - "owner" (default): requests are all_to_all'd to owning shards which
+      gather locally and all_to_all the rows back — O(n*D) bytes over the
+      axis, results striped P(('data','graph')) and reassembled here.
+      This matches the reference's owner routing (each shard processes
+      only its shard's rows, core/runner/op_runner.h:60-152).
+    - "psum": the round-2 masked psum stitch (O(P*n*D) bytes), kept as
+      the always-correct fallback.
+
+    Both paths are exact and bitwise-identical (tests/test_sharded_store).
     """
+    from functools import partial as _partial
+
     from jax import shard_map
 
+    from graph_learn_tpu.config import conf
+    from graph_learn_tpu.core.sharding import Striped, owner_routing
+
     axis = stables.axis
+    nsh = stables.num_shards
+    routing = routing or conf.partition_routing
+    n_data = mesh.shape.get("data", 1)
 
     def body(stacked, repl, seeds, key):
         block = jax.tree.map(lambda x: x[0], stacked)  # graph-axis block
         view = stables.view(block, repl)
+        if routing == "owner":
+            with owner_routing(axis, nsh):
+                return _execute(query, view, seeds, key)
         return _execute(query, view, seeds, key)
 
-    inner = shard_map(
-        body, mesh=mesh,
-        in_specs=(P(axis), P(), P("data"), P()),
-        out_specs=P("data"), check_vma=False)
+    def abstract_body(stacked, repl, seeds, key):
+        # structure discovery: same trace with collectives stubbed out
+        block = jax.tree.map(lambda x: x[0], stacked)
+        view = stables.view(block, repl)
+        with owner_routing(axis, nsh, abstract=True):
+            return _execute(query, view, seeds, key)
+
+    _is_striped = lambda x: isinstance(x, Striped)
+    _cache = {}
+
+    def build(seeds, key):
+        if routing != "owner":
+            return shard_map(body, mesh=mesh,
+                             in_specs=(P(axis), P(), P("data"), P()),
+                             out_specs=P("data"), check_vma=False)
+        local_seeds = jax.ShapeDtypeStruct(
+            (seeds.shape[0] // n_data,) + seeds.shape[1:], seeds.dtype)
+        out_struct = jax.eval_shape(abstract_body, stables.stacked,
+                                    stables.repl, local_seeds, key)
+        out_specs = jax.tree.map(
+            lambda x: (Striped(local=P(("data", axis)),
+                               logical_shape=x.logical_shape)
+                       if _is_striped(x) else P("data")),
+            out_struct, is_leaf=_is_striped)
+        return shard_map(body, mesh=mesh,
+                         in_specs=(P(axis), P(), P("data"), P()),
+                         out_specs=out_specs, check_vma=False)
+
+    def _reassemble(x):
+        if not _is_striped(x):
+            return x
+        # logical_shape is the per-data-shard result shape; globally the
+        # leading dim scales by the data-axis size
+        shp = x.logical_shape
+        return x.local.reshape((shp[0] * n_data,) + tuple(shp[1:]))
 
     def plan(seeds, key):
-        return inner(stables.stacked, stables.repl, seeds, key)
+        ck = (seeds.shape, str(seeds.dtype))
+        if ck not in _cache:
+            _cache[ck] = build(seeds, key)
+        out = _cache[ck](stables.stacked, stables.repl, seeds, key)
+        return jax.tree.map(_reassemble, out, is_leaf=_is_striped)
 
     return plan
 

@@ -226,3 +226,63 @@ def test_sharded_store_rejects_walks_and_conditional(wts_graph):
     with pytest.raises(InvalidArgumentError):
         with jax.set_mesh(mesh):
             jax.jit(plan)(jnp.arange(4, dtype=jnp.int32), jax.random.key(0))
+
+
+@pytest.mark.parametrize("routing", ["owner", "psum"])
+def test_payload_routing_modes_identical(wts_graph, routing):
+    """The owner-routed payload exchange (all_to_all to owning shards,
+    O(n*D) bytes) and the psum stitch (O(P*n*D)) must produce bitwise
+    identical results (VERDICT r2 next #2)."""
+    g = wts_graph
+    q = (g.V("v", mask=gl.Mask.TRAIN).batch(8).alias("src")
+         .outV("e").sample(4).by("edge_weight").alias("h1").values())
+    mesh = make_mesh(n_data=1, n_graph=8)
+    stables = build_sharded_tables(q, 8).place(mesh)
+    plan = make_partitioned_plan(q, mesh, stables, routing=routing)
+    seeds = jnp.arange(8, dtype=jnp.int32)
+    with jax.set_mesh(mesh):
+        sharded = jax.jit(plan)(seeds, jax.random.key(5))
+    single = jax.jit(lambda t, s, k: _execute(q, t, s, k))(
+        q.device_tables(), seeds, jax.random.key(5))
+    _tree_equal(single, sharded)
+
+
+def test_owner_routing_overflow_falls_back_exactly(wts_graph):
+    """Adversarial skew: every request owned by ONE shard overflows the
+    all_to_all buckets; the psum fallback must keep results exact."""
+    from graph_learn_tpu.config import conf
+
+    g = wts_graph
+    q = (g.V("v").batch(128).alias("src")
+         .outV("e").sample(3).by("topk").alias("h1").values())
+    mesh = make_mesh(n_data=1, n_graph=8)
+    stables = build_sharded_tables(q, 8).place(mesh)
+    # all seeds identical -> all payload requests hit one owner; with
+    # batch*k = 384 flat ids, m = 48/shard, capacity = ceil(48*2/8)+8 = 20
+    # < 48 -> guaranteed overflow on the owning shard's bucket
+    seeds = jnp.full((128,), 7, jnp.int32)
+    plan = make_partitioned_plan(q, mesh, stables, routing="owner")
+    with jax.set_mesh(mesh):
+        sharded = jax.jit(plan)(seeds, jax.random.key(1))
+    single = jax.jit(lambda t, s, k: _execute(q, t, s, k))(
+        q.device_tables(), seeds, jax.random.key(1))
+    _tree_equal(single, sharded)
+    assert conf.owner_route_capacity == 2.0  # default untouched
+
+
+def test_owner_routing_under_data_parallelism(wts_graph):
+    """(data=2, graph=4) with owner routing: structural correctness and
+    payload rows match the table (striped reassembly across both axes)."""
+    g = wts_graph
+    q = (g.V("v").batch(8).alias("src")
+         .outV("e").sample(4).by("random").alias("h1").values())
+    mesh = make_mesh(n_data=2, n_graph=4)
+    stables = build_sharded_tables(q, 4).place(mesh)
+    plan = make_partitioned_plan(q, mesh, stables, routing="owner")
+    seeds = jnp.arange(8, dtype=jnp.int32)
+    with jax.set_mesh(mesh):
+        out = jax.jit(plan)(seeds, jax.random.key(2))
+    ids = np.asarray(out["h1"].ids)
+    feats = np.asarray(wts_graph.store.node_table("v").float_attrs)
+    np.testing.assert_allclose(np.asarray(out["h1"].float_attrs),
+                               feats[ids], rtol=1e-6)
