@@ -89,31 +89,8 @@ class Query:
         out = {
             "nodes": {t: store.node_table(t).device() for t in node_types},
             "edges": {t: store.edge_table(t).device() for t in edge_types},
-            "cond": {},
+            "cond": build_condition_tables(self),
         }
-        # condition tables for .where() conditional negative sampling
-        from graph_learn_tpu.ops.conditional import ConditionTable
-        for n in self.dag.nodes:
-            if n.strategy != "conditional":
-                continue
-            s_t, d_t = store.topology[n.edge_type]
-            result_t = s_t if n.kind == "in_neg" else d_t
-            nt = store.node_table(result_t)
-            et = store.edge_table(n.edge_type)
-            cond = n.condition or {}
-            # str cols are hashed int columns in this store: merge them
-            int_cols = list(cond.get("int_cols", [])) + \
-                list(cond.get("str_cols", []))
-            float_cols = list(cond.get("float_cols", []))
-            if n.base_strategy == "in_degree":
-                w = (et.out_degrees if n.kind == "in_neg"
-                     else et.in_degrees).astype(np.float64)
-            elif n.base_strategy == "node_weight":
-                w = nt.weights
-            else:
-                w = None
-            out["cond"][str(n.nid)] = ConditionTable.build(
-                nt, int_cols, float_cols, w)
         return out
 
     # --- compile ------------------------------------------------------
@@ -126,6 +103,41 @@ class Query:
     def run(self, seeds: jax.Array, key: jax.Array):
         tables = self.device_tables()
         return self.build()(tables, seeds, key)
+
+
+def build_condition_tables(query: "Query"):
+    """{dag nid: ConditionTable} for every .where() conditional node.
+
+    Shared by Query.device_tables (replicated single-device store) and
+    parallel/sharded_store.build_sharded_tables — the condition tables are
+    id-sized (value-sorted runs + CDFs) and stay REPLICATED on a sharded
+    store (reference: condition_table.h:57-99 per-server tables).
+    """
+    from graph_learn_tpu.ops.conditional import ConditionTable
+
+    store = query.graph.store
+    out = {}
+    for n in query.dag.nodes:
+        if n.strategy != "conditional":
+            continue
+        s_t, d_t = store.topology[n.edge_type]
+        result_t = s_t if n.kind == "in_neg" else d_t
+        nt = store.node_table(result_t)
+        et = store.edge_table(n.edge_type)
+        cond = n.condition or {}
+        # str cols are hashed int columns in this store: merge them
+        int_cols = list(cond.get("int_cols", [])) + \
+            list(cond.get("str_cols", []))
+        float_cols = list(cond.get("float_cols", []))
+        if n.base_strategy == "in_degree":
+            w = (et.out_degrees if n.kind == "in_neg"
+                 else et.in_degrees).astype(np.float64)
+        elif n.base_strategy == "node_weight":
+            w = nt.weights
+        else:
+            w = None
+        out[str(n.nid)] = ConditionTable.build(nt, int_cols, float_cols, w)
+    return out
 
 
 def _node_types_of_edge(query: Query, edge_type: str):
@@ -202,10 +214,6 @@ def _exec_node(query: Query, tables, node: DagNode, recs, seeds, key) -> _Rec:
 
     if kind == "walk":
         et = tables["edges"][node.edge_type]
-        if is_sharded(et):
-            raise InvalidArgumentError(
-                "random_walk is not yet supported on a graph-axis-sharded "
-                "store; use graph_shards=1 (replicated tables) for walks")
         s_t, d_t = _node_types_of_edge(query, node.edge_type)
         flat, shape = _flat(parent.ids)
         walks = walk_ops.node2vec_walk(et.out, flat, node.walk_len, key,
@@ -272,16 +280,12 @@ def _exec_hop(query: Query, tables, node: DagNode, parent: _Rec, recs, key):
     t_upper = None
     if parent.ts is not None and csr.nbr_ts is not None:
         t_upper, _ = _flat(parent.ts)
-    if t_upper is not None and flt is not None:
-        raise InvalidArgumentError(
-            ".filter() combined with temporal traversal is not supported "
-            "yet; drop the filter or the timestamp decoding")
 
     if strategy == "full":
         cap = k if k > 0 else conf.default_full_nbr_num
         if t_upper is not None:
             ids, eids, degs = temporal_ops.temporal_full_sample(
-                csr, flat, cap, t_upper)
+                csr, flat, cap, t_upper, flt=flt)
         else:
             ids, eids, degs = samp_ops.full_sample(csr, flat, cap, flt=flt)
         nt = tables["nodes"][result_type]
@@ -295,16 +299,16 @@ def _exec_hop(query: Query, tables, node: DagNode, parent: _Rec, recs, key):
     if t_upper is not None:
         if strategy == "random":
             ids, eids = temporal_ops.temporal_uniform_sample(
-                csr, flat, k, key, t_upper)
+                csr, flat, k, key, t_upper, flt=flt)
         elif strategy in ("edge_weight", "in_degree"):
             ids, eids = temporal_ops.temporal_weighted_sample(
-                csr, flat, k, key, t_upper, by=strategy)
+                csr, flat, k, key, t_upper, by=strategy, flt=flt)
         elif strategy == "random_without_replacement":
             ids, eids = temporal_ops.temporal_without_replacement_sample(
-                csr, flat, k, key, t_upper)
+                csr, flat, k, key, t_upper, flt=flt)
         elif strategy == "topk":
             ids, eids = temporal_ops.temporal_topk_sample(csr, flat, k,
-                                                          t_upper)
+                                                          t_upper, flt=flt)
         elif strategy in samp_ops.STRATEGY_FNS:
             # user-registered strategy on a temporal path: the fn must
             # opt in to the before-t bound (no silent temporal leakage)
@@ -403,14 +407,11 @@ def _exec_neg(query: Query, tables, node: DagNode, parent: _Rec, recs, key):
 def _exec_conditional_neg(query: Query, tables, node: DagNode, recs, flat,
                           et, dst_table, key):
     """.where(target, condition) negatives (conditional_negative_sampler.cc)."""
+    from graph_learn_tpu.core.sharding import (ShardedNodeTable,
+                                               sharded_row_gather)
     from graph_learn_tpu.ops.conditional import conditional_negative_sample
     from graph_learn_tpu.ops.negative import _draw_cdf_ids, _draw_uniform_ids
 
-    if is_sharded(et) or is_sharded(dst_table):
-        raise InvalidArgumentError(
-            ".where() conditional negatives are not yet supported on a "
-            "graph-axis-sharded store (attribute-proportional matching "
-            "needs the dst payload; use graph_shards=1)")
     cond = node.condition or {}
     target = query.dag.get_node(node.filter_alias)
     pos_dst, _ = _flat(recs[target.nid].ids)
@@ -429,10 +430,23 @@ def _exec_conditional_neg(query: Query, tables, node: DagNode, recs, flat,
     else:
         base_draw = lambda k_, shape: _draw_uniform_ids(pool, k_, shape)
 
-    pia = (dst_table.int_attrs[pos_dst]
-           if dst_table.int_attrs is not None else None)
-    pfa = (dst_table.float_attrs[pos_dst]
-           if dst_table.float_attrs is not None else None)
+    # positive dst attributes for the matching columns.  On a sharded
+    # store the ConditionTable stays REPLICATED (id-sized runs/CDFs) and
+    # only this [b, n_cols] attribute probe crosses the axis (one psum) —
+    # the reference likewise runs ConditionalNegativeSampler against
+    # sharded storage with a replicated condition table
+    # (conditional_negative_sampler.cc:37-110).
+    if isinstance(dst_table, ShardedNodeTable):
+        rps = dst_table.rows_per_shard
+        pia = sharded_row_gather(dst_table.local.int_attrs, rps,
+                                 dst_table.axis, pos_dst)
+        pfa = sharded_row_gather(dst_table.local.float_attrs, rps,
+                                 dst_table.axis, pos_dst)
+    else:
+        pia = (dst_table.int_attrs[pos_dst]
+               if dst_table.int_attrs is not None else None)
+        pfa = (dst_table.float_attrs[pos_dst]
+               if dst_table.float_attrs is not None else None)
     int_cols = list(cond.get("int_cols", [])) + list(cond.get("str_cols", []))
     int_props = list(cond.get("int_props", [])) + list(cond.get("str_props", []))
     return conditional_negative_sample(

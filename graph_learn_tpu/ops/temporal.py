@@ -23,9 +23,33 @@ import jax.numpy as jnp
 from graph_learn_tpu.config import conf
 from graph_learn_tpu.core.sharding import row_sharded_sampler
 from graph_learn_tpu.core.store import DeviceCSR
-from graph_learn_tpu.ops.sampling import _gather
+from graph_learn_tpu.ops.sampling import _excl_rel, _filter_guard, _gather
 from graph_learn_tpu.ops.segment import (row_bounds_csr,
                                          segmented_searchsorted)
+
+
+def _prefix_filter(csr: DeviceCSR, start, hi, deg, flt, strategy: str):
+    """Compose an exclude-dst filter with the before-t prefix.
+
+    Locates the excluded neighbor WITHIN the admissible prefix
+    [start, hi) and removes it from the draw space: returns
+    (rel, present, deg') where rel is the excluded slot's within-prefix
+    index and deg' the filtered temporal degree.  The device analogue of
+    the reference stacking Filter(ts LARGER_THAN) + Filter(id EQUAL)
+    inside one sampler (sampler/filter.cc Filter::HitAll).
+    """
+    excl = _filter_guard(csr, flt, strategy)
+    if excl is None:
+        return None, None, deg
+    rel, present = _excl_rel(csr, start, hi, excl)
+    return rel, present, deg - present.astype(jnp.int32)
+
+
+def _skip_excluded(idx, rel, present):
+    """Map filtered draw-space indices past the removed slot."""
+    if rel is None:
+        return idx
+    return idx + (present[:, None] & (idx >= rel[:, None]))
 
 
 def _cutoffs(csr: DeviceCSR, seeds: jax.Array, t_upper: jax.Array):
@@ -51,20 +75,21 @@ def _cutoffs(csr: DeviceCSR, seeds: jax.Array, t_upper: jax.Array):
 
 @row_sharded_sampler
 def temporal_uniform_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
-                            key: jax.Array, t_upper: jax.Array):
+                            key: jax.Array, t_upper: jax.Array, flt=None):
     """Uniform with replacement among edges with ts < t_upper[i]."""
     start, hi, deg = _cutoffs(csr, seeds, t_upper)
+    rel, present, deg = _prefix_filter(csr, start, hi, deg, flt, "random")
     u = jax.random.uniform(key, seeds.shape + (k,))
     idx = jnp.minimum(jnp.floor(u * deg[:, None]).astype(jnp.int32),
                       jnp.maximum(deg, 1)[:, None] - 1)
-    pos = start[:, None] + idx
+    pos = start[:, None] + _skip_excluded(idx, rel, present)
     return _gather(csr, pos, (deg > 0)[:, None], start=start)
 
 
 @row_sharded_sampler
 def temporal_weighted_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
                              key: jax.Array, t_upper: jax.Array,
-                             by: str = "edge_weight"):
+                             by: str = "edge_weight", flt=None):
     """Weight-proportional draws restricted to edges with ts < t_upper[i].
 
     Composes the before-t prefix with the inverse-CDF weighted draw — the
@@ -80,8 +105,10 @@ def temporal_weighted_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
         raise ValueError(
             "CSR has no %s CDF table (source not weighted?)" % by)
     start, hi, deg = _cutoffs(csr, seeds, t_upper)
+    rel, present, deg = _prefix_filter(csr, start, hi, deg, flt, by)
     u = jax.random.uniform(key, seeds.shape + (k,))
-    from graph_learn_tpu.ops.sampling import _nwin, fetch_window
+    from graph_learn_tpu.ops.sampling import (_nwin, _window_select,
+                                              fetch_window)
     nwin = _nwin(csr)
     if nwin:
         win, lane_abs = fetch_window(cum2d, start >> 7, nwin)
@@ -89,9 +116,29 @@ def temporal_weighted_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
                      (lane_abs < hi[:, None]))
         # cdf value at hi-1 == max over the (ascending) prefix lanes
         c_hi = jnp.max(jnp.where(in_prefix, win, 0.0), axis=-1)
-        below = in_prefix[:, None, :] & (win[:, None, :] <
-                                         (u * c_hi[:, None])[..., None])
-        pos = start[:, None] + jnp.sum(below, axis=-1).astype(jnp.int32)
+        if rel is not None:
+            # remove the excluded slot's probability mass exactly (same
+            # construction as the non-temporal weighted filter): draw u'
+            # over the remaining prefix mass and shift past the excluded
+            # slot's CDF interval [cdf[rel-1], cdf[rel])
+            relc = jnp.minimum(rel, jnp.maximum(hi - start, 1) - 1)
+            at_x = _window_select(cum2d, start >> 7, start + relc, nwin)
+            prev_x = jnp.where(relc > 0, _window_select(
+                cum2d, start >> 7, start + relc - 1, nwin), 0.0)
+            w_x = jnp.where(present, at_x - prev_x, 0.0)
+            u2 = u * (c_hi - w_x)[:, None]
+            t = jnp.where(u2 < prev_x[:, None], u2, u2 + w_x[:, None])
+            below = in_prefix[:, None, :] & (win[:, None, :] < t[..., None])
+            pos = start[:, None] + jnp.sum(below, axis=-1).astype(jnp.int32)
+            # float-boundary guard: never land ON the excluded slot
+            on_x = present[:, None] & (pos - start[:, None] == relc[:, None])
+            step = jnp.where(relc == jnp.maximum(hi - start, 1) - 1,
+                             -1, 1)[:, None]
+            pos = jnp.where(on_x, pos + step, pos)
+        else:
+            below = in_prefix[:, None, :] & (win[:, None, :] <
+                                             (u * c_hi[:, None])[..., None])
+            pos = start[:, None] + jnp.sum(below, axis=-1).astype(jnp.int32)
     else:
         from graph_learn_tpu.ops.segment import (_bisect_iters, flat_gather,
                                                  segmented_searchsorted)
@@ -108,38 +155,43 @@ def temporal_weighted_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
 @row_sharded_sampler
 def temporal_without_replacement_sample(csr: DeviceCSR, seeds: jax.Array,
                                         k: int, key: jax.Array,
-                                        t_upper: jax.Array):
+                                        t_upper: jax.Array, flt=None):
     """Uniform without replacement among edges with ts < t_upper[i]."""
     from graph_learn_tpu.ops.sampling import wor_positions
     start, hi, deg = _cutoffs(csr, seeds, t_upper)
-    pos = wor_positions(start, deg, k, key)
+    rel, present, deg = _prefix_filter(csr, start, hi, deg, flt,
+                                       "random_without_replacement")
+    pos = wor_positions(start, deg, k, key, rel=rel, present=present)
     return _gather(csr, pos, (deg > 0)[:, None], start=start)
 
 
 @row_sharded_sampler
 def temporal_topk_sample(csr: DeviceCSR, seeds: jax.Array, k: int,
-                         t_upper: jax.Array):
+                         t_upper: jax.Array, flt=None):
     """The k MOST RECENT edges before t (TGN-style recency neighborhood)."""
     start, hi, deg = _cutoffs(csr, seeds, t_upper)
+    rel, present, deg = _prefix_filter(csr, start, hi, deg, flt, "topk")
     ar = jnp.arange(k, dtype=jnp.int32)[None, :]
-    take = jnp.minimum(deg, k)[:, None]
-    # positions hi-1, hi-2, ... (most recent first), circular over prefix
+    # filtered offsets from the recent end, circular over the prefix
     off = ar % jnp.maximum(deg, 1)[:, None]
-    pos = hi[:, None] - 1 - off
+    idx = jnp.maximum(deg, 1)[:, None] - 1 - off  # filtered ascending idx
+    pos = start[:, None] + _skip_excluded(idx, rel, present)
     pos = jnp.maximum(pos, start[:, None])
     return _gather(csr, pos, (deg > 0)[:, None], start=start)
 
 
 @row_sharded_sampler
 def temporal_full_sample(csr: DeviceCSR, seeds: jax.Array, cap: int,
-                         t_upper: jax.Array):
+                         t_upper: jax.Array, flt=None):
     """All admissible edges up to cap, most recent last (csr order)."""
     start, hi, deg = _cutoffs(csr, seeds, t_upper)
+    rel, present, deg = _prefix_filter(csr, start, hi, deg, flt, "full")
     degc = jnp.minimum(deg, cap)
     ar = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    # keep the most recent `cap` of the prefix: window [hi - degc, hi)
-    pos = hi[:, None] - degc[:, None] + ar
+    # keep the most recent `cap` of the (filtered) prefix
+    idx = deg[:, None] - degc[:, None] + ar
     valid = ar < degc[:, None]
+    pos = start[:, None] + _skip_excluded(idx, rel, present)
     ids, eids = _gather(csr, jnp.maximum(pos, start[:, None]), valid,
                         start=start)
     return ids, eids, degc.astype(jnp.int32)

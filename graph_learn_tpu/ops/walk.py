@@ -22,12 +22,37 @@ import jax
 import jax.numpy as jnp
 
 from graph_learn_tpu.config import conf
+from graph_learn_tpu.core.sharding import ShardedCSR, own_rows, psum_owned
 from graph_learn_tpu.core.store import DeviceCSR
 from graph_learn_tpu.ops.segment import (flat_gather, row_bounds_csr,
                                          segment_member)
 
 
-def _uniform_step(csr: DeviceCSR, cur: jax.Array, key: jax.Array) -> jax.Array:
+def _stitch_ids(vals: jax.Array, own: jax.Array, axis: str) -> jax.Array:
+    """psum-stitch an id array that uses -1 as the stuck/invalid sentinel.
+
+    Stitching happens in id+1 space so rows with NO owner (cur == -1, or
+    the walk stepped off the graph) sum to 0 and decode back to -1 —
+    unlike raw psum where an unowned row's 0 collides with node id 0.
+    """
+    return psum_owned(vals + 1, own, axis) - 1
+
+
+def _uniform_step(csr, cur: jax.Array, key: jax.Array) -> jax.Array:
+    """One uniform walk step; shard-transparent.
+
+    On a :class:`ShardedCSR` each shard advances the walkers it owns and
+    one psum recombines — the per-step remote hop of the reference's
+    RemoteOperator walk (random_walk.cc:30-75) become per-step psums.
+    Randomness is replicated (same key, same shapes), so sharded walks
+    are bitwise-identical to single-device walks.
+    """
+    if isinstance(csr, ShardedCSR):
+        loc, own = own_rows(csr.rows_per_shard, csr.axis,
+                            jnp.maximum(cur, 0))
+        nxt = _uniform_step(csr.local, loc, key)
+        return _stitch_ids(jnp.where(cur >= 0, nxt, -1),
+                           own & (cur >= 0), csr.axis)
     start, _, deg = row_bounds_csr(csr, jnp.maximum(cur, 0))
     u = jax.random.uniform(key, cur.shape)
     idx = jnp.minimum(jnp.floor(u * deg).astype(jnp.int32),
@@ -64,30 +89,53 @@ def node2vec_walk(csr: DeviceCSR, seeds: jax.Array, walk_len: int,
     max_w = max(inv_p, 1.0, inv_q)
     keys = jax.random.split(key, max(walk_len - 1, 1))
 
-    def step(carry, k):
-        prev, cur = carry
-        k1, k2 = jax.random.split(k)
-        start, _, deg = row_bounds_csr(csr, jnp.maximum(cur, 0))
-        pstart, pend, _ = row_bounds_csr(csr, jnp.maximum(prev, 0))
+    from graph_learn_tpu.ops.segment import _bisect_iters
+
+    def _candidates(local, cur, k1):
+        """Uniform proposals for live walkers against ``local`` rows."""
+        start, _, deg = row_bounds_csr(local, jnp.maximum(cur, 0))
         u = jax.random.uniform(k1, cur.shape + (num_tries,))
         idx = jnp.minimum(jnp.floor(u * deg[:, None]).astype(jnp.int32),
                           jnp.maximum(deg, 1)[:, None] - 1)
         cpos = jnp.clip(start[:, None] + idx,
-                        0, max(csr.n_edges - 1, 0))
-        cand = flat_gather(csr.nbr_tiled, cpos)
+                        0, max(local.n_edges - 1, 0))
+        cand = flat_gather(local.nbr_tiled, cpos)
+        return jnp.where((deg > 0)[:, None], cand, jnp.int32(-1))
+
+    def _membership(local, prev, cand):
+        pstart, pend, _ = row_bounds_csr(local, jnp.maximum(prev, 0))
+        return segment_member(None, pstart[:, None], pend[:, None], cand,
+                              sorted2d=local.nbr_sorted_tiled,
+                              iters=_bisect_iters(local.max_degree))
+
+    def step(carry, k):
+        prev, cur = carry
+        k1, k2 = jax.random.split(k)
+        if isinstance(csr, ShardedCSR):
+            # cur's owner proposes candidates; prev's owner answers the
+            # membership probe; both recombine with one psum each (the
+            # reference walks shard-to-shard the same way,
+            # random_walk.cc:30-75 per-step remote requests)
+            loc_c, own_c = own_rows(csr.rows_per_shard, csr.axis,
+                                    jnp.maximum(cur, 0))
+            cand = _stitch_ids(_candidates(csr.local, loc_c, k1),
+                               own_c & (cur >= 0), csr.axis)
+            loc_p, own_p = own_rows(csr.rows_per_shard, csr.axis,
+                                    jnp.maximum(prev, 0))
+            pn = _membership(csr.local, loc_p, cand).astype(jnp.int32)
+            is_pnbr = psum_owned(pn, own_p & (prev >= 0), csr.axis) > 0
+        else:
+            cand = _candidates(csr, cur, k1)
+            cand = jnp.where((cur >= 0)[:, None], cand, jnp.int32(-1))
+            is_pnbr = _membership(csr, prev, cand)
         is_prev = cand == prev[:, None]
-        from graph_learn_tpu.ops.segment import _bisect_iters
-        is_pnbr = segment_member(None, pstart[:, None],
-                                 pend[:, None], cand,
-                                 sorted2d=csr.nbr_sorted_tiled,
-                                 iters=_bisect_iters(csr.max_degree))
         w = jnp.where(is_prev, inv_p, jnp.where(is_pnbr, 1.0, inv_q))
         acc = jax.random.uniform(k2, cand.shape) * max_w < w
         first = jnp.argmax(acc, axis=-1)
         none = ~jnp.any(acc, axis=-1)
         pick = jnp.where(none, num_tries - 1, first)
         nxt = jnp.take_along_axis(cand, pick[:, None], axis=-1)[:, 0]
-        nxt = jnp.where((deg > 0) & (cur >= 0), nxt, jnp.int32(-1))
+        nxt = jnp.maximum(nxt, jnp.int32(-1))
         return (cur, nxt), nxt
 
     init = (seeds.astype(jnp.int32), seeds.astype(jnp.int32))

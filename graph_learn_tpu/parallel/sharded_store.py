@@ -213,7 +213,7 @@ class ShardedTables:
 
     def view(self, stacked, repl) -> Dict:
         """Shard-local blocks (leading axis dropped) -> plan tables dict."""
-        out = {"nodes": {}, "edges": {}, "cond": {}}
+        out = {"nodes": {}, "edges": {}, "cond": repl.get("cond", {})}
         for t, fields in stacked["nodes"].items():
             m = self.meta["nodes"][t]
             local = DeviceNodeTable(
@@ -333,11 +333,6 @@ def build_sharded_tables(query, num_shards: int,
     Walks the same type set as Query.device_tables (gsl/compile.py) but
     produces [P, ...]-stacked host arrays instead of single-device tables.
     """
-    if any(n.strategy == "conditional" for n in query.dag.nodes):
-        from graph_learn_tpu.errors import InvalidArgumentError
-        raise InvalidArgumentError(
-            ".where() conditional negatives are not supported on a "
-            "sharded store yet")
     minimal = (profile or conf.storage_profile) == "minimal"
     store = query.graph.store
     node_types, edge_types = _query_types(query)
@@ -350,5 +345,10 @@ def build_sharded_tables(query, num_shards: int,
     for t in edge_types:
         s, r, m = _stack_edge_table(store.edge_table(t), num_shards, minimal)
         stacked["edges"][t], repl["edges"][t], meta["edges"][t] = s, r, m
+    # .where() conditional negatives: the ConditionTable (value-sorted
+    # runs + CDFs, id-sized) stays REPLICATED — only the positive-dst
+    # attribute probe crosses the graph axis at plan time
+    from graph_learn_tpu.gsl.compile import build_condition_tables
+    repl["cond"] = build_condition_tables(query)
     return ShardedTables(stacked=stacked, repl=repl, meta=meta,
                          num_shards=num_shards)

@@ -215,17 +215,148 @@ def test_partitioned_train_step_runs(wts_graph):
     assert losses[-1] < losses[0]  # it actually learns on repeated batch
 
 
-def test_sharded_store_rejects_walks_and_conditional(wts_graph):
-    from graph_learn_tpu.errors import InvalidArgumentError
+def test_sharded_walks_match_single_device(wts_graph):
+    """random_walk on the partitioned store: per-step psum relays compose
+    exactly like hop sampling — bitwise identical to the single-device
+    walk (VERDICT r2 next #4; reference random_walk.cc:30-75 walks
+    shard-to-shard with per-step remote requests)."""
     g = wts_graph
-    q = (g.V("v").batch(4).alias("src")
-         .random_walk(3, edge_type="e").alias("w").values())
+    for p, q_ in ((1.0, 1.0), (0.5, 2.0)):  # deepwalk + biased node2vec
+        q = (g.V("v").batch(6).alias("src")
+             .random_walk(4, p=p, q=q_, edge_type="e").alias("w").values())
+        mesh = make_mesh(n_data=1, n_graph=8)
+        stables = build_sharded_tables(q, 8).place(mesh)
+        plan = make_partitioned_plan(q, mesh, stables)
+        seeds = jnp.arange(6, dtype=jnp.int32)
+        key = jax.random.key(3)
+        with jax.set_mesh(mesh):
+            sharded = jax.jit(plan)(seeds, key)
+        single = jax.jit(lambda t, s, k: _execute(q, t, s, k))(
+            q.device_tables(), seeds, key)
+        _tree_equal(single, sharded)
+
+
+def test_sharded_conditional_negatives_match(wts_graph):
+    """.where() conditional negatives on the partitioned store: replicated
+    ConditionTable + one psum attribute probe — bitwise identical to the
+    single-device plan (reference conditional_negative_sampler.cc:37-110
+    runs against sharded storage)."""
+    g = wts_graph
+    seed = g.E("e").batch(6).alias("seed")
+    src = seed.outV().alias("src")
+    seed.inV().alias("dst")
+    (src.outNeg("e").sample(4).by("node_weight")
+     .where("dst", {"float_cols": [0], "float_props": [0.5]})
+     .alias("neg"))
+    q = seed.values()
     mesh = make_mesh(n_data=1, n_graph=8)
     stables = build_sharded_tables(q, 8).place(mesh)
     plan = make_partitioned_plan(q, mesh, stables)
-    with pytest.raises(InvalidArgumentError):
-        with jax.set_mesh(mesh):
-            jax.jit(plan)(jnp.arange(4, dtype=jnp.int32), jax.random.key(0))
+    seeds = jnp.arange(6, dtype=jnp.int32)
+    key = jax.random.key(11)
+    with jax.set_mesh(mesh):
+        sharded = jax.jit(plan)(seeds, key)
+    single = jax.jit(lambda t, s, k: _execute(q, t, s, k))(
+        q.device_tables(), seeds, key)
+    _tree_equal(single, sharded)
+
+
+def test_temporal_filter_composes(wts_graph):
+    """.filter() + temporal traversal (previously rejected): samples obey
+    BOTH constraints — ts strictly before the seed edge's ts AND dst != the
+    filtered target — on single-device and partitioned stores alike."""
+    g = wts_graph
+    seed = g.E("e").batch(8).alias("ev")
+    src = seed.outV().alias("src")
+    seed.inV().alias("dst")
+    src.outE("e").sample(3).by("edge_weight").filter("dst").alias("h1")
+    q = seed.values()
+    seeds = jnp.arange(8, dtype=jnp.int32)
+    key = jax.random.key(7)
+    single = jax.jit(lambda t, s, k: _execute(q, t, s, k))(
+        q.device_tables(), seeds, key)
+    et = wts_graph.store.edge_table("e")
+    ts_of = np.asarray(et.timestamps)
+    seed_ts = ts_of[np.asarray(seeds)]
+    dst_ids = np.asarray(single["dst"].ids)
+    h1_eids = np.asarray(single["h1"].edge_ids)
+    h1_ids = np.asarray(single["h1"].dst_nodes.ids)
+    m = h1_eids >= 0
+    # temporal bound: every sampled edge is strictly before the seed edge
+    assert (ts_of[h1_eids[m]]
+            < np.broadcast_to(seed_ts[:, None], h1_eids.shape)[m]).all()
+    # filter: the positive dst never appears among same-row samples
+    for i in range(8):
+        row = h1_ids[i][h1_eids[i] >= 0]
+        assert dst_ids[i] not in row.tolist(), (i, dst_ids[i], row)
+    # partitioned store matches bitwise
+    mesh = make_mesh(n_data=1, n_graph=8)
+    stables = build_sharded_tables(q, 8).place(mesh)
+    plan = make_partitioned_plan(q, mesh, stables)
+    with jax.set_mesh(mesh):
+        sharded = jax.jit(plan)(seeds, key)
+    _tree_equal(single, sharded)
+
+
+@pytest.mark.parametrize("strategy", ["random", "topk",
+                                      "random_without_replacement"])
+def test_temporal_filter_all_strategies(wts_graph, strategy):
+    """Exclude-dst filters compose with the before-t prefix on every
+    temporal strategy (reference stacks Filter(ts) + Filter(id) inside
+    one sampler, sampler/filter.cc Filter::HitAll)."""
+    g = wts_graph
+    seed = g.E("e").batch(8).alias("ev")
+    src = seed.outV().alias("src")
+    seed.inV().alias("dst")
+    src.outE("e").sample(3).by(strategy).filter("dst").alias("h1")
+    q = seed.values()
+    seeds = jnp.arange(8, dtype=jnp.int32)
+    out = jax.jit(lambda t, s, k: _execute(q, t, s, k))(
+        q.device_tables(), seeds, jax.random.key(1))
+    et = wts_graph.store.edge_table("e")
+    ts_of = np.asarray(et.timestamps)
+    seed_ts = ts_of[np.asarray(seeds)]
+    h1_eids = np.asarray(out["h1"].edge_ids)
+    h1_ids = np.asarray(out["h1"].dst_nodes.ids)
+    dst_ids = np.asarray(out["dst"].ids)
+    m = h1_eids >= 0
+    assert (ts_of[h1_eids[m]]
+            < np.broadcast_to(seed_ts[:, None], h1_eids.shape)[m]).all()
+    for i in range(8):
+        row = h1_ids[i][h1_eids[i] >= 0]
+        assert dst_ids[i] not in row.tolist(), (i, strategy)
+
+
+def test_temporal_filter_full(wts_graph):
+    """full strategy + filter + temporal: the filtered prefix excludes the
+    positive dst and every kept edge satisfies the ts bound."""
+    g = wts_graph
+    seed = g.E("e").batch(8).alias("ev")
+    src = seed.outV().alias("src")
+    seed.inV().alias("dst")
+    src.outV("e").sample(5).by("full").filter("dst").alias("h1")
+    q = seed.values()
+    seeds = jnp.arange(8, dtype=jnp.int32)
+    out = jax.jit(lambda t, s, k: _execute(q, t, s, k))(
+        q.device_tables(), seeds, jax.random.key(1))
+    et = wts_graph.store.edge_table("e")
+    src_np = np.asarray(et.src)
+    dst_np = np.asarray(et.dst)
+    ts_np = np.asarray(et.timestamps)
+    seed_ts = ts_np[np.asarray(seeds)]
+    src_ids = np.asarray(out["src"].ids)
+    dst_ids = np.asarray(out["dst"].ids)
+    h1 = out["h1"]
+    ids = np.asarray(h1.ids)
+    deg = np.asarray(h1.degrees)
+    for i in range(8):
+        row = ids[i, :deg[i]]
+        assert dst_ids[i] not in row.tolist(), (i, dst_ids[i], row)
+        for v in row:
+            # an edge src->v with ts < seed_ts[i] must exist
+            cand = (src_np == src_ids[i]) & (dst_np == v) & \
+                (ts_np < seed_ts[i])
+            assert cand.any(), (i, v)
 
 
 @pytest.mark.parametrize("routing", ["owner", "psum"])
