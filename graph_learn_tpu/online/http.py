@@ -62,9 +62,10 @@ def _value_payload(v) -> dict:
 class ServingServer:
     """HTTP front-end over a graph: install plans, serve, ingest updates."""
 
-    def __init__(self, graph, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, graph, host: str = "127.0.0.1", port: int = 0,
+                 graph_shards: int = 1):
         self.graph = graph
-        self.service = QueryService(graph)
+        self.service = QueryService(graph, graph_shards=graph_shards)
         self._buf = UpdateBuffer()
         # admin mutations take the global lock; /serving takes no lock at
         # all — each installed query coalesces concurrent callers onto

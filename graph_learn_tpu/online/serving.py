@@ -46,13 +46,18 @@ _SHUTDOWN = object()
 class _Snapshot:
     """Immutable view a request is served against: host id-index + device
     tables captured together (so a concurrent table rebuild can never remap
-    rows under an in-flight request)."""
+    rows under an in-flight request).
 
-    __slots__ = ("index", "tables")
+    On a partitioned service the snapshot holds the graph-axis-sharded
+    store and ITS compiled plan (the plan closes over the placed shards,
+    so swapping a snapshot swaps both atomically)."""
 
-    def __init__(self, index, tables):
+    __slots__ = ("index", "tables", "plan")
+
+    def __init__(self, index, tables, plan=None):
         self.index = index
         self.tables = tables
+        self.plan = plan
 
 
 class _Pending:
@@ -73,6 +78,8 @@ class InstalledQuery:
         self.qid = qid
         self.query = query
         self.micro_batch = micro_batch
+        self._mesh = service.mesh
+        self._graph_shards = service.graph_shards
         src = query.source
         if src.kind != "source_v":
             raise InvalidArgumentError("serving expects a V() query")
@@ -99,6 +106,19 @@ class InstalledQuery:
     def _build_snapshot(self) -> _Snapshot:
         ns = self.query.graph.store.node_set(self.query.source.node_type)
         base = self.query.graph.store.node_table(ns.base_type)
+        if self._graph_shards > 1:
+            # partitioned serving (DGS partitions sample storage by vid
+            # across serving workers, sample_store.h:71): every device
+            # holds 1/P of the graph payload, so the SERVED graph scales
+            # with device count; streaming updates land via refresh() as
+            # a per-shard rebuild + atomic snapshot swap
+            from graph_learn_tpu.parallel.sharded_store import \
+                build_sharded_tables
+            from graph_learn_tpu.parallel.train import make_partitioned_plan
+            stables = build_sharded_tables(
+                self.query, self._graph_shards).place(self._mesh)
+            plan = make_partitioned_plan(self.query, self._mesh, stables)
+            return _Snapshot(base.index, stables, plan)
         return _Snapshot(base.index, self.query.device_tables())
 
     def refresh(self):
@@ -184,6 +204,14 @@ class InstalledQuery:
             p.event.set()
         return True
 
+    def _launch(self, snap: _Snapshot, seeds, sub):
+        """One device launch against a snapshot (single-chip jit plan or
+        the partitioned shard_map plan)."""
+        if snap.plan is not None:
+            with jax.set_mesh(self._mesh):
+                return snap.plan(seeds, sub)
+        return self._fn(snap.tables, seeds, sub)
+
     def _execute_batch(self, ids: np.ndarray):
         snap = self._snap  # one immutable snapshot for the whole request
         idx = snap.index.lookup(ids)
@@ -200,7 +228,7 @@ class InstalledQuery:
                     "micro_batch or split the request" % (n, mb))
             chunk = np.pad(idx, (0, mb - n), mode="edge") if n < mb else idx
             self._key, sub = jax.random.split(self._key)
-            out = self._fn(snap.tables, jnp.asarray(chunk, jnp.int32), sub)
+            out = self._launch(snap, jnp.asarray(chunk, jnp.int32), sub)
             # trim the padding off seed-aligned aliases only; SubGraphVal
             # aliases keep their batch-global (capped) shapes
             from graph_learn_tpu.core.values import SubGraphVal
@@ -217,8 +245,8 @@ class InstalledQuery:
             if pad:
                 chunk = np.pad(chunk, (0, pad), mode="edge")
             self._key, sub = jax.random.split(self._key)
-            outs.append(self._fn(snap.tables,
-                                 jnp.asarray(chunk, jnp.int32), sub))
+            outs.append(self._launch(snap, jnp.asarray(chunk, jnp.int32),
+                                     sub))
         out = outs[0] if len(outs) == 1 else jax.tree.map(
             lambda *xs: jnp.concatenate(xs, axis=0), *outs)
         out = jax.tree.map(
@@ -242,10 +270,22 @@ class InstalledQuery:
 
 
 class QueryService:
-    """Install/run surface (coordinator /admin/query + serving workers)."""
+    """Install/run surface (coordinator /admin/query + serving workers).
 
-    def __init__(self, graph):
+    With ``graph_shards > 1`` (and a mesh carrying a 'graph' axis) every
+    installed query serves from the range-partitioned store — per-device
+    HBM holds 1/P of the graph, so the servable graph scales with device
+    count like DGS's vid-partitioned sample store (sample_store.h:71,
+    common/partitioner.h).
+    """
+
+    def __init__(self, graph, mesh=None, graph_shards: int = 1):
         self.graph = graph
+        self.graph_shards = graph_shards
+        if graph_shards > 1 and mesh is None:
+            from graph_learn_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(n_data=1, n_graph=graph_shards)
+        self.mesh = mesh
         self._queries: Dict[int, InstalledQuery] = {}
         self._next = 0
 

@@ -376,3 +376,71 @@ def test_subgraph_serving_rejects_oversized_request(g):
     with pytest.raises(gl.InvalidArgumentError):
         svc.run(qid, np.arange(8, dtype=np.int64) * 10)
     svc.close()
+
+
+def test_partitioned_serving_scales_past_one_chip(tmp_path):
+    """QueryService over the range-partitioned store (VERDICT r2 next #6):
+    8 virtual devices each hold < the full store, streaming updates land
+    in shard-local blocks via refresh(), and answers match the
+    single-device service exactly (deterministic strategies)."""
+    import jax
+
+    from graph_learn_tpu.parallel.sharded_store import build_sharded_tables
+
+    rng = np.random.default_rng(0)
+    n, deg, f = 2000, 8, 32
+    with open(tmp_path / "nodes", "w") as fh:
+        fh.write("id:int64\tfeature:string\n")
+        for i in range(n):
+            fh.write("%d\t%s\n" % (i, ":".join(
+                "%.3f" % x for x in rng.random(f))))
+    with open(tmp_path / "edges", "w") as fh:
+        fh.write("src_id:int64\tdst_id:int64\tweight:float\n")
+        for i in range(n):
+            for j in range(deg):
+                fh.write("%d\t%d\t%.2f\n" % (i, (i * 13 + j * 7) % n,
+                                             j + 1.0))
+    def mk():
+        return (gl.Graph()
+                .node(str(tmp_path / "nodes"), "v",
+                      gl.Decoder(attr_types=["float"] * f))
+                .edge(str(tmp_path / "edges"), ("v", "v", "e"),
+                      gl.Decoder(weighted=True))).init()
+
+    g_part, g_single = mk(), mk()
+
+    def q_of(g):
+        return (g.V("v").batch(8).alias("src")
+                .outV("e").sample(3).by("topk").alias("h1").values())
+
+    svc = QueryService(g_part, graph_shards=8)
+    qid = svc.install(q_of(g_part), micro_batch=8)
+    ref = QueryService(g_single)
+    rid = ref.install(q_of(g_single), micro_batch=8)
+    ids = np.array([0, 5, 17, 123, 999, 1500, 1999, 3], np.int64)
+    out = svc.run(qid, ids)
+    oracle = ref.run(rid, ids)
+    np.testing.assert_array_equal(np.asarray(out["h1"].ids),
+                                  np.asarray(oracle["h1"].ids))
+    np.testing.assert_allclose(np.asarray(out["h1"].float_attrs,
+                                          dtype=np.float32),
+                               np.asarray(oracle["h1"].float_attrs,
+                                          dtype=np.float32), rtol=1e-6)
+    # per-device bytes really shrink vs the full store
+    full_bytes = sum(x.nbytes for x in jax.tree.leaves(
+        q_of(g_single).device_tables()))
+    st = build_sharded_tables(q_of(g_part), 8)
+    assert st.bytes_per_device() < full_bytes * 0.3, (
+        st.bytes_per_device(), full_bytes)
+
+    # streaming update -> refresh rebuilds the SHARD blocks; the new
+    # heavy edges dominate node 0's topk answer
+    buf = UpdateBuffer()
+    buf.add_edges("e", src_ids=[0, 0, 0], dst_ids=[42, 43, 44],
+                  weights=[99.0, 98.0, 97.0])
+    apply_updates(g_part, buf)
+    svc.refresh()
+    out2 = svc.run(qid, np.array([0], np.int64))
+    assert set(np.asarray(out2["h1"].ids)[0].tolist()) == {42, 43, 44}
+    svc.close()
+    ref.close()
