@@ -48,9 +48,19 @@ def build_pair_subgraphs(dev_et, feats, src, dst, key, nbrs=6, steps=2):
     return bg, x
 
 
+def _read_edge_tsv(path):
+    e = np.loadtxt(path, skiprows=1, usecols=(0, 1), dtype=np.int64,
+                   ndmin=2)
+    return e
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--data_dir", default="/tmp/glt_cora_like")
+    ap.add_argument("--collab_dir", default=None,
+                    help="ogbl-collab tables from examples/data/"
+                         "ogbl_collab.py; enables the hits@50 eval "
+                         "(reference seal/README.md:19-21 hits@50~0.49)")
     ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--batch_size", type=int, default=64)
     ap.add_argument("--hidden", type=int, default=32)
@@ -58,14 +68,30 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=0.01)
     args = ap.parse_args(argv)
 
-    if not os.path.exists(os.path.join(args.data_dir, "node_table")):
-        cora_like(args.data_dir, n=1000, classes=7, feat_dim=args.feat_dim)
-    g = (gl.Graph()
-         .node(os.path.join(args.data_dir, "node_table"), "item",
-               gl.Decoder(labeled=True, attr_types=["float"] * args.feat_dim))
-         .edge(os.path.join(args.data_dir, "edge_table"),
-               ("item", "item", "relation"), gl.Decoder(weighted=True),
-               directed=False)).init()
+    test_pos = test_neg = None
+    if args.collab_dir:
+        d = args.collab_dir
+        args.feat_dim = 128
+        g = (gl.Graph()
+             .node(os.path.join(d, "ogbl_collab_node"), "item",
+                   gl.Decoder(attr_types=["float"] * 128))
+             .edge(os.path.join(d, "ogbl_collab_train_edge"),
+                   ("item", "item", "relation"),
+                   gl.Decoder(weighted=True), directed=False)).init()
+        test_pos = _read_edge_tsv(os.path.join(d, "ogbl_collab_test_edge"))
+        test_neg = _read_edge_tsv(
+            os.path.join(d, "ogbl_collab_test_edge_neg"))
+    else:
+        if not os.path.exists(os.path.join(args.data_dir, "node_table")):
+            cora_like(args.data_dir, n=1000, classes=7,
+                      feat_dim=args.feat_dim)
+        g = (gl.Graph()
+             .node(os.path.join(args.data_dir, "node_table"), "item",
+                   gl.Decoder(labeled=True,
+                              attr_types=["float"] * args.feat_dim))
+             .edge(os.path.join(args.data_dir, "edge_table"),
+                   ("item", "item", "relation"), gl.Decoder(weighted=True),
+                   directed=False)).init()
 
     et = g.store.edge_table("relation")
     dev = et.device()
@@ -129,6 +155,40 @@ def main(argv=None):
         if i % 30 == 0 or i == args.steps - 1:
             print("step %d loss %.4f pairwise-auc %.3f"
                   % (i, float(loss), float(auc)))
+
+    if test_pos is not None:
+        # OGB hits@50: fraction of positive test edges scored above the
+        # 50th-highest negative score (reference seal/README.md:19-21)
+        @jax.jit
+        def score_batch(p, s, d, kk):
+            bg, x = build_pair_subgraphs(dev, feats, s, d, kk)
+            h = model.apply(p["gcn"], bg.edge_index, x,
+                            edge_mask=bg.edge_mask)
+            r = bg.readout(h)
+            return scorer.apply(p["mlp"], r, r).reshape(-1)
+
+        index = g.store.node_table("item").index
+
+        def score_edges(e):
+            bs = args.batch_size
+            npad = (-len(e)) % bs
+            ep = np.concatenate([e, e[:1].repeat(npad, 0)]) if npad else e
+            kk = jax.random.key(77)
+            outs = []
+            for off in range(0, len(ep), bs):
+                kk, sub = jax.random.split(kk)
+                s = index.lookup(ep[off:off + bs, 0]).astype(np.int32)
+                t = index.lookup(ep[off:off + bs, 1]).astype(np.int32)
+                outs.append(np.asarray(score_batch(
+                    params, jnp.asarray(s), jnp.asarray(t), sub)))
+            return np.concatenate(outs)[:len(e)]
+
+        ps = score_edges(test_pos)
+        ns = score_edges(test_neg)
+        kth = np.sort(ns)[-min(50, len(ns))]
+        hits = float((ps > kth).mean())
+        print("hits@50: %.4f" % hits)
+        return hits
     return float(auc)
 
 
