@@ -10,11 +10,17 @@ driver).  vs_baseline is the ratio against a CPU run of the same pipeline
 
 Env:
   GLT_BENCH_SMALL=1   shrink workload (CI smoke)
+  GLT_BENCH_SCALE=1   the 62M-edge ogbn-products-size config instead
+                      (2.45M nodes, fanout [15,10], batch 1024,
+                      storage_profile=minimal) — the big-graph frontier
+                      number (PERF.md "62M-edge" section); vs_baseline is
+                      the ratio to round-2's 46.4M edges/s record
   GLT_PLATFORM=cpu    run the main measurement on CPU too
   GLT_USE_PALLAS=1    route hop feature gathers + embedding_agg through
                       the Pallas kernels (conf.use_pallas) — exercises the
                       kernel path on hardware; XLA default wins on
                       uniform-random access (see ops/pallas/dispatch.py)
+  GLT_FEATURE_DTYPE   float32|bfloat16 (default bfloat16)
 """
 
 import json
@@ -26,6 +32,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SMALL = os.environ.get("GLT_BENCH_SMALL") == "1"
+SCALE = os.environ.get("GLT_BENCH_SCALE") == "1"
 
 CFG = dict(
     n_nodes=20_000 if SMALL else 200_000,
@@ -39,6 +46,22 @@ CFG = dict(
     warmup=2,
     scan_steps=10 if SMALL else 30,
 )
+
+# the round-1/2 "big-graph frontier" configuration (examples/scale_demo.py,
+# ogbn-products size); record to beat: 46.4M edges/s (r02, f32 features)
+CFG_SCALE = dict(
+    n_nodes=2_450_000,
+    avg_degree=25,  # ~62M directed edges
+    feat_dim=100,
+    hidden=256,
+    batch=1024,
+    fanout=(15, 10),
+    classes=47,
+    steps=60,
+    warmup=1,
+    scan_steps=20,
+)
+SCALE_BASELINE_EPS = 46.4e6  # BENCH r02 / PERF.md:72 record on this config
 
 
 def build_graph_inmem(cfg, seed=0):
@@ -153,7 +176,7 @@ def run_bench(cfg):
         params, opt_state, loss = multi_step(params, opt_state, tables,
                                              jax.random.key(100 + i))
     _ = float(loss)  # drain the pipeline before timing
-    _log("warmup (compile) %.1fs" % (time.perf_counter() - t0))
+    _log("warmup (compile + real table upload; through the axon tunnel the\n[bench]   device_put ack is NOT completion, so the first execution pays the\n[bench]   actual transfer — see PERF.md warmup section) %.1fs" % (time.perf_counter() - t0))
     t0 = time.perf_counter()
     rounds = max(cfg["steps"] // K, 1)
     for i in range(rounds):
@@ -202,9 +225,20 @@ def main():
     from graph_learn_tpu.utils.platform import ensure_platform
     ensure_platform()
     from graph_learn_tpu.config import conf
-    conf.feature_dtype = "bfloat16"  # TPU-native: halves gather traffic
+    # TPU-native default: bf16 feature tables halve gather traffic
+    conf.feature_dtype = os.environ.get("GLT_FEATURE_DTYPE", "bfloat16")
     if os.environ.get("GLT_USE_PALLAS") == "1":
         conf.use_pallas = True
+    if SCALE:
+        conf.storage_profile = "minimal"
+        eps = run_bench(CFG_SCALE)
+        print(json.dumps({
+            "metric": "ego_sage_scale62m_edges_per_s",
+            "value": round(eps, 1),
+            "unit": "edges/s/chip",
+            "vs_baseline": round(eps / SCALE_BASELINE_EPS, 2),
+        }))
+        return
     eps = run_bench(CFG)
     base = cpu_baseline(CFG)
     print(json.dumps({
