@@ -18,6 +18,11 @@ the HTTP layer only parses/serializes JSON.  Routes:
 - ``POST /admin/update``     {"edges": {type: {src_ids, dst_ids, ...}},
                               "nodes": {type: {ids, ...}}} staged + applied
 - ``POST /admin/refresh``    re-upload tables so updates become visible
+- ``GET  /healthz``          k8s readiness/liveness probe (deploy/k8s/)
+
+``online/serve_main.py`` is the deployable entrypoint that builds the
+graph from a config JSON and runs this server (the DGS
+service_main.cpp role).
 """
 
 from __future__ import annotations
@@ -93,7 +98,13 @@ class ServingServer:
             def do_GET(self):
                 try:
                     u = urlparse(self.path)
-                    if u.path == "/admin/schema":
+                    if u.path == "/healthz":
+                        # k8s readiness/liveness probe (deploy/k8s): 200
+                        # once the graph is initialised and serving
+                        self._send(200, {"ok": True,
+                                         "queries": len(
+                                             outer.service._queries)})
+                    elif u.path == "/admin/schema":
                         self._send(200, outer.graph.get_stats())
                     elif u.path == "/admin/query/stats":
                         qid = int(parse_qs(u.query)["qid"][0])
