@@ -153,7 +153,12 @@ def run_bench(cfg):
             batch = _execute(q, tables_, seeds, ks)
 
             def lf(pp):
-                ego = EgoGraph.from_query_result(batch, "src", hop_aliases)
+                # deepest-hop features consumed via the deferred sorted
+                # segment gather (ops/aggregate.py gather_group_agg); the
+                # plan's own hop2 materialisation is dead code XLA removes
+                ego = EgoGraph.from_query_result(
+                    batch, "src", hop_aliases,
+                    defer_last_table=tables_["nodes"]["item"].float_attrs)
                 logits = model.apply(pp, ego, training=True,
                                      rngs={"dropout": km})
                 return supervised_softmax_loss(logits, batch["src"].labels)

@@ -60,6 +60,14 @@ class _Config:
     # ops/pallas/dispatch.py.
     use_pallas: bool = False
     # --- distributed ---------------------------------------------------
+    # sorted-gather group aggregation (ops/aggregate.py gather_group_agg):
+    # gather deepest-hop feature rows in sorted index order + segment
+    # reduce instead of gather + reshape-reduce.  ~2x on the dominant
+    # gather for tables past the cache tier (PERF.md rule 5); exact for
+    # mean/sum, exact for max.  The size floor keeps small (cache-tier)
+    # tables on the plain path where the sort is pure overhead.
+    sorted_gather: bool = True
+    sorted_gather_min_bytes: int = 32 << 20
     # number of graph shards (mesh axis 'graph'); 1 = single device store
     graph_shards: int = 1
     # partitioned-plan payload exchange: "owner" routes feature vectors to

@@ -23,6 +23,34 @@ from graph_learn_tpu.core.values import Nodes
 
 
 @struct.dataclass
+class DeferredRows:
+    """An unmaterialised feature-row gather: table reference + indices.
+
+    Carried in a hop Nodes' ``float_attrs`` slot when the consumer opted
+    into deferred payload (``EgoGraph.from_query_result(...,
+    defer_last_table=...)``): EgoGNN aggregates the deepest hop straight
+    from the table with the sorted segment gather
+    (ops/aggregate.py ``gather_group_agg``) instead of materialising
+    [b, k1, ..., kK, D] rows in sampled order — the dominant HBM cost of
+    a fused train step on big graphs (PERF.md rule 5).  Consumers that
+    need per-neighbor rows (attention convs, custom models) call
+    :meth:`materialize` and proceed exactly as before.
+    """
+
+    table: jax.Array  # [N, D] feature table
+    idx: jax.Array    # hop-shaped int indices
+
+    def materialize(self) -> jax.Array:
+        from graph_learn_tpu.ops.pallas.dispatch import feature_gather
+        return feature_gather(self.table, self.idx)
+
+    def group_agg(self, op: str = "mean") -> jax.Array:
+        """[n_groups, D] reduction over the trailing fanout axis."""
+        from graph_learn_tpu.ops.aggregate import gather_group_agg
+        return gather_group_agg(self.table, self.idx, op=op)
+
+
+@struct.dataclass
 class EgoGraph:
     """src + K hops of neighbor Nodes.
 
@@ -42,10 +70,25 @@ class EgoGraph:
 
     @classmethod
     def from_query_result(cls, result: dict, src_alias: str,
-                          hop_aliases: Sequence[str]) -> "EgoGraph":
+                          hop_aliases: Sequence[str],
+                          defer_last_table=None) -> "EgoGraph":
+        """Build from a plan result.
+
+        ``defer_last_table``: the deepest hop's [N, D] float-attr device
+        table (e.g. ``query.device_tables()["nodes"][t].float_attrs``).
+        When given, the deepest hop carries a :class:`DeferredRows`
+        instead of materialised rows; inside a fused jitted step XLA
+        dead-code-eliminates the plan's original gather, and EgoGNN
+        aggregates from the table in sorted order.  Only worth it for
+        FUSED sample+train steps on big feature tables.
+        """
         src = result[src_alias]
         hops = [result[a] for a in hop_aliases]
         nbr_nums = tuple(h.ids.shape[-1] for h in hops)
+        if defer_last_table is not None and hops:
+            hops[-1] = hops[-1].replace(
+                float_attrs=DeferredRows(table=defer_last_table,
+                                         idx=hops[-1].ids))
         return cls(src=src, hops=list(hops), nbr_nums=nbr_nums)
 
 

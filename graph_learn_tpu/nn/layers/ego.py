@@ -39,9 +39,26 @@ class EgoSAGEConv(nn.Module):
     agg_type: str = "mean"  # mean | sum | max | gcn
     use_bias: bool = False
 
+    # the aggregation this conv applies over the fanout axis — what a
+    # pre-aggregated ``neighbor_agg`` must contain ('gcn' consumes a mean)
+    @property
+    def deferred_op(self) -> str:
+        return "mean" if self.agg_type == "gcn" else self.agg_type
+
     @nn.compact
-    def __call__(self, x, neighbor, expand):
+    def __call__(self, x, neighbor, expand, neighbor_agg=None):
         din = _pair(self.in_dim)
+        if neighbor_agg is not None:
+            # pre-aggregated neighbors (deferred-hop fast path): the
+            # caller already reduced encoded rows with self.deferred_op
+            if self.agg_type == "gcn":
+                # mean over [k nbrs ++ x] == (k*mean_nbr + x) / (k+1)
+                h = (expand * neighbor_agg + x) / (expand + 1.0)
+                return nn.Dense(self.out_dim, use_bias=self.use_bias,
+                                name="trans_nodes")(h)
+            h = jnp.concatenate([x, neighbor_agg], axis=1)
+            return nn.Dense(self.out_dim, use_bias=self.use_bias,
+                            name="trans_nodes")(h)
         nbr = neighbor.reshape((-1, expand, din[1]))
         if self.agg_type == "gcn":
             # mean over [nbrs ++ x] then Linear (ego_sage_conv.py:84-88)
@@ -98,11 +115,16 @@ class EgoGINConv(nn.Module):
     eps: float = 0.0
     use_bias: bool = False
 
+    deferred_op = "sum"
+
     @nn.compact
-    def __call__(self, x, neighbor, expand):
+    def __call__(self, x, neighbor, expand, neighbor_agg=None):
         din = _pair(self.in_dim)
-        nbr = neighbor.reshape((-1, expand, din[1]))
-        agg = jnp.sum(nbr, axis=1)
+        if neighbor_agg is not None:
+            agg = neighbor_agg
+        else:
+            nbr = neighbor.reshape((-1, expand, din[1]))
+            agg = jnp.sum(nbr, axis=1)
         if din[0] != din[1]:
             x = nn.Dense(self.out_dim, use_bias=self.use_bias,
                          name="trans_x")((1.0 + self.eps) * x)
@@ -183,10 +205,19 @@ class EgoLayer(nn.Module):
     convs: Sequence[nn.Module]
     share: bool = True
 
-    def __call__(self, x_list, expands, **kwargs):
-        assert len(x_list) - 1 == len(expands)
+    def __call__(self, x_list, expands, deep_agg=None, **kwargs):
+        # deep_agg: the DEEPEST hop's features arrive pre-aggregated
+        # (deferred-payload fast path, nn/models/ego_gnn.py) — x_list is
+        # then one entry short and the last conv consumes the aggregate
+        n_pairs = len(expands)
+        assert len(x_list) == n_pairs + (deep_agg is None)
         out = []
-        for i in range(1, len(x_list)):
-            conv = self.convs[0] if self.share else self.convs[i - 1]
-            out.append(conv(x_list[i - 1], x_list[i], expands[i - 1], **kwargs))
+        for i in range(n_pairs):
+            conv = self.convs[0] if self.share else self.convs[i]
+            if deep_agg is not None and i == n_pairs - 1:
+                out.append(conv(x_list[i], None, expands[i],
+                                neighbor_agg=deep_agg, **kwargs))
+            else:
+                out.append(conv(x_list[i], x_list[i + 1], expands[i],
+                                **kwargs))
         return out

@@ -15,10 +15,31 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from graph_learn_tpu.core.schema import Decoder
-from graph_learn_tpu.nn.data import EgoGraph
+from graph_learn_tpu.core.values import Nodes
+from graph_learn_tpu.nn.data import DeferredRows, EgoGraph
 from graph_learn_tpu.nn.feature_column import FeatureEncoder
 from graph_learn_tpu.nn.layers.ego import (EgoGATConv, EgoGINConv, EgoLayer,
                                            EgoRGCNConv, EgoSAGEConv)
+
+
+def _encoder_commutes(enc, op: str) -> bool:
+    """Does ``enc(group_agg(rows)) == group_agg(enc(rows))``?
+
+    FeatureEncoder over a float-only decoder is a cast (identity) or a
+    cast + Dense projection.  mean commutes with any affine map;
+    sum/max additionally require the pure passthrough (Dense bias breaks
+    sum — enc(sum) = W·sum + b vs sum(enc) = W·sum + k·b — and any Dense
+    breaks max).  Anything fancier (int-attr embeddings, custom modules)
+    falls back to materialising the hop.
+    """
+    if not isinstance(enc, FeatureEncoder):
+        return False
+    d = enc.decoder
+    if d.int_attr_num or d.multival_attr_num:
+        return False
+    if op == "mean":
+        return True
+    return enc.output_dim is None
 
 
 class EgoGNN(nn.Module):
@@ -35,23 +56,46 @@ class EgoGNN(nn.Module):
     act: Callable = nn.relu
     dropout: float = 0.0
 
-    def _encode(self, ego: EgoGraph):
-        h = []
+    def _enc_for(self, i: int):
+        return (self.hop_encoders[i] if self.hop_encoders is not None
+                else self.encoder)
+
+    def _prepare(self, ego: EgoGraph):
+        """Split into (values to encode, deep_agg) handling deferral.
+
+        A deepest hop carrying :class:`DeferredRows` is either aggregated
+        straight from the table (sorted segment gather — the whole point)
+        when the consuming conv supports pre-aggregated neighbors and the
+        encoder commutes with its reduction, or materialised and treated
+        exactly as before.
+        """
         values = [ego.src] + list(ego.hops)
-        for i, v in enumerate(values):
-            enc = (self.hop_encoders[i] if self.hop_encoders is not None
-                   else self.encoder)
-            h.append(enc(v))
-        return h
+        if not ego.hops or not isinstance(ego.hops[-1].float_attrs,
+                                          DeferredRows):
+            return values, None
+        dr = ego.hops[-1].float_attrs
+        conv = self.layers[0].convs[-1]
+        op = getattr(conv, "deferred_op", None)
+        enc = self._enc_for(len(values) - 1)
+        if op is None or not _encoder_commutes(enc, op):
+            values[-1] = ego.hops[-1].replace(float_attrs=dr.materialize())
+            return values, None
+        agg_raw = dr.group_agg(op)  # [n_prev_flat, D_raw]
+        deep_agg = enc(Nodes(ids=jnp.zeros((agg_raw.shape[0],), jnp.int32),
+                             float_attrs=agg_raw,
+                             type_name=ego.hops[-1].type_name))
+        return values[:-1], deep_agg
 
     @nn.compact
     def __call__(self, ego: EgoGraph, training: bool = False):
-        h = self._encode(ego)
+        values, deep_agg = self._prepare(ego)
+        h = [self._enc_for(i)(v) for i, v in enumerate(values)]
         hops = list(ego.nbr_nums)
         n_layers = len(self.layers)
         for i in range(n_layers - 1):
             current = hops if i == 0 else hops[:len(hops) - i]
-            h = self.layers[i](h, current)
+            h = self.layers[i](h, current,
+                               deep_agg=deep_agg if i == 0 else None)
             out = []
             for x in h:
                 x = self.act(x)
@@ -60,7 +104,8 @@ class EgoGNN(nn.Module):
                                    deterministic=not training)(x)
                 out.append(x)
             h = out
-        h = self.layers[-1](h, [hops[0]])
+        h = self.layers[-1](h, [hops[0]],
+                            deep_agg=deep_agg if n_layers == 1 else None)
         assert len(h) == 1
         return h[0]
 

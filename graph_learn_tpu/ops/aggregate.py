@@ -36,6 +36,57 @@ def segment_aggregate(feats: jax.Array, segment_ids: jax.Array,
     raise ValueError("unknown aggregation op %r" % op)
 
 
+def gather_group_agg(table: jax.Array, idx: jax.Array,
+                     op: str = "mean") -> jax.Array:
+    """Aggregate table rows in fixed groups: idx [..., k] -> [n_groups, D].
+
+    Semantically ``table[idx].reshape(-1, k, D)`` reduced over the k axis —
+    the deepest-hop consumption pattern of every Ego conv.  Implementation
+    exploits that the reduction is permutation-invariant WITHIN each group:
+    gather rows in globally SORTED index order (≈2x faster than random
+    order on tables past the ~16 MB cache tier, PERF.md rule 5 — sorted
+    accesses walk HBM pages sequentially) and reduce with a segment
+    scatter-add keyed by the sort permutation's group ids, so the
+    permutation is never undone.  The reference does the equivalent
+    server-side as Aggregator ops over gathered floats
+    (graphlearn/src/core/operator/aggregator/aggregator.cc:31-60); XLA
+    cannot discover this rewrite because a lone gather must preserve
+    output order.
+
+    Gated by ``conf.sorted_gather`` and a table-size floor (small tables
+    are cache-resident; the sort would be pure overhead).  Reductions
+    accumulate in ``conf.compute_dtype``.
+    """
+    from graph_learn_tpu.config import conf
+    k = idx.shape[-1]
+    nseg = idx.size // k
+    compute = jnp.dtype(conf.compute_dtype)
+    flat = jnp.clip(idx.reshape(-1), 0, table.shape[0] - 1)
+    use_sorted = (conf.sorted_gather and table.ndim == 2
+                  and table.size * table.dtype.itemsize
+                  >= conf.sorted_gather_min_bytes)
+    if not use_sorted:
+        from graph_learn_tpu.ops.pallas.dispatch import feature_gather
+        rows = feature_gather(table, flat).astype(compute)
+        rows = rows.reshape(nseg, k, table.shape[-1])
+        if op == "mean":
+            return jnp.mean(rows, axis=1)
+        if op == "sum":
+            return jnp.sum(rows, axis=1)
+        if op == "max":
+            return jnp.max(rows, axis=1)
+        raise ValueError("unknown group aggregation op %r" % op)
+    order = jnp.argsort(flat)
+    rows = table[flat[order]].astype(compute)
+    seg = (order // k).astype(jnp.int32)
+    if op == "max":
+        return jax.ops.segment_max(rows, seg, num_segments=nseg)
+    if op in ("sum", "mean"):
+        out = jax.ops.segment_sum(rows, seg, num_segments=nseg)
+        return out / k if op == "mean" else out
+    raise ValueError("unknown group aggregation op %r" % op)
+
+
 def embedding_agg(float_attrs: jax.Array, ids: jax.Array, degrees: jax.Array,
                   op: str = "sum") -> jax.Array:
     """Aggregate float attrs of SparseNodes rows ([b, cap] + degrees [b]).
