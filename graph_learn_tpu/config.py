@@ -62,11 +62,15 @@ class _Config:
     # --- distributed ---------------------------------------------------
     # sorted-gather group aggregation (ops/aggregate.py gather_group_agg):
     # gather deepest-hop feature rows in sorted index order + segment
-    # reduce instead of gather + reshape-reduce.  ~2x on the dominant
-    # gather for tables past the cache tier (PERF.md rule 5); exact for
-    # mean/sum, exact for max.  The size floor keeps small (cache-tier)
-    # tables on the plain path where the sort is pure overhead.
-    sorted_gather: bool = True
+    # reduce instead of gather + reshape-reduce.  Default OFF: measured on
+    # real v5e at the 62M-edge frontier shapes (2.45M x 100 table, 153.6k
+    # draws, examples/gather_micro.py), sorting the indices buys only
+    # ~11% on the raw gather, argsort costs 1.25 ms, and XLA's
+    # segment-sum scatter-add is slower than the entire plain
+    # gather+reshape-mean — the rewrite nets 1.5x SLOWER.  Kept (exact,
+    # tested) for locality regimes where sorted access does pay
+    # (reordered community graphs, host backends).
+    sorted_gather: bool = False
     sorted_gather_min_bytes: int = 32 << 20
     # number of graph shards (mesh axis 'graph'); 1 = single device store
     graph_shards: int = 1

@@ -95,9 +95,12 @@ def embedding_agg(float_attrs: jax.Array, ids: jax.Array, degrees: jax.Array,
     vector per seed, reduced over its (masked) neighbor slots.
     """
     from graph_learn_tpu.config import conf
+    # f32 only: the kernel DMAs per-row (1, D) HBM slices, which Mosaic
+    # rejects for sublane-packed dtypes (bf16 needs 8-row alignment) —
+    # see ops/pallas/dispatch.py feature_gather for the measured error
     if conf.use_pallas and op in ("sum", "mean", "max", "min") \
             and float_attrs.ndim == 2 and float_attrs.shape[1] % 128 == 0 \
-            and jnp.issubdtype(float_attrs.dtype, jnp.floating):
+            and float_attrs.dtype == jnp.float32:
         import jax as _jax
 
         from graph_learn_tpu.ops.pallas.spmm import segment_spmm

@@ -3,8 +3,11 @@
 The product call sites (ops/lookup.py feature gathers; ops/aggregate.py
 ``embedding_agg`` routes itself) go through these wrappers; with
 ``conf.use_pallas = False`` (the default) they lower to plain XLA ops,
-with ``True`` they run the hand-written kernels (hardware-validated in
-tests/test_pallas.py and by ``GLT_USE_PALLAS=1 python bench.py``).
+with ``True`` they run the hand-written kernels.  Hardware coverage:
+``GLT_USE_PALLAS=1 GLT_FEATURE_DTYPE=float32 python bench.py`` exercises
+the kernels on a real chip (f32 tables — the per-row DMA is only legal
+for f32, see feature_gather below); with the bf16 default the gather
+falls back to XLA and the flag changes nothing.
 
 Why default-off: measured on a real v5e chip, XLA's vectorised row gather
 runs at ~75% of the 4KB-tile-traffic speed of light (each random row
@@ -38,13 +41,17 @@ def feature_gather(table: jax.Array, idx: jax.Array) -> jax.Array:
 
     idx may have any shape; result shape = idx.shape + (D,).
     """
-    # Kernel eligibility: float rows with lane-aligned width only.  The
+    # Kernel eligibility: float32 rows with lane-aligned width only.  The
     # per-row DMA path slices (1, D) blocks out of the tiled HBM layout;
-    # int32/int64 tables and lane-unaligned widths (D % 128 != 0, e.g.
-    # Cora's 1433) are rejected by Mosaic (see gather.py layout notes), so
-    # they always take XLA's gather.
+    # int32/int64 tables, lane-unaligned widths (D % 128 != 0, e.g.
+    # Cora's 1433), and sublane-packed dtypes are rejected by Mosaic.
+    # bf16 in particular is (2,1)-packed, so a (1, D) HBM slice fails
+    # compile with "Slice shape along dimension 0 must be aligned to
+    # tiling (8)" (measured on real v5e via the remote-compile helper);
+    # only f32's (1,1) packing admits per-row DMA.  Everything else takes
+    # XLA's gather.
     if (not conf.use_pallas or table.ndim != 2
-            or not jnp.issubdtype(table.dtype, jnp.floating)
+            or table.dtype != jnp.float32
             or table.shape[1] % 128 != 0):
         safe = jnp.clip(idx, 0, table.shape[0] - 1)
         return table[safe]
