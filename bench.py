@@ -45,6 +45,10 @@ CFG = dict(
     steps=20 if SMALL else 120,
     warmup=2,
     scan_steps=10 if SMALL else 30,
+    # grouped prefetch loses on this cache-tier table (measured r3:
+    # 135.3M at G=1 vs 122.4M at G=4 / 120.8M at G=10 — the inter-phase
+    # spills cost more than the gather-concurrency lever saves)
+    prefetch_group=1,
 )
 
 # the round-1/2 "big-graph frontier" configuration (examples/scale_demo.py,
@@ -60,6 +64,14 @@ CFG_SCALE = dict(
     steps=60,
     warmup=1,
     scan_steps=20,
+    # G=1: grouping LOSES everywhere (measured r3 sweep, this config:
+    # 55.4M at G=1 vs 49.9/48.8/46.8M at G=4/10/20 — the inter-phase
+    # spills outweigh the gather-concurrency lever).  The +19% over the
+    # r02 record comes from the restructured G=1 pipeline itself: the
+    # deepest-hop gather+reduce runs OUTSIDE value_and_grad, so only
+    # [b*k1, D] enters the differentiated train scan.  See
+    # examples/group_sweep.py and PERF.md.
+    prefetch_group=1,
 )
 SCALE_BASELINE_EPS = 46.4e6  # BENCH r02 / PERF.md:72 record on this config
 
@@ -99,16 +111,99 @@ def _log(msg):
     print("[bench] " + msg, file=sys.stderr, flush=True)
 
 
+def make_multi_step(q, tables, model, optimizer, cfg, G):
+    """Jitted K-step fused train function with grouped prefetch width G.
+
+    Scanned multi-step: K train steps per dispatch with device-side seed
+    generation — no host in the loop at all (measured +33% over
+    step-per-dispatch through the TPU tunnel).
+
+    Grouped prefetch: sample+gather G steps' batches in ONE vmapped plan
+    execution before the train scan.  XLA's random row gather is
+    concurrency-limited at single-step index counts (PERF.md r3: 15.9 ->
+    12.2 ns/row at 4x the indices), and the deepest hop is pre-reduced
+    (gather_group_agg -> PreAggregatedRows) so only [b*k1, D] per step
+    spills between the phases instead of the raw [b*k1*k2, D] rows.
+    This is the device-side analogue of the reference's tape prefetch
+    ring (core/dag/dag_dataset.cc:26-70).  G=1 degenerates to the plain
+    per-step pipeline (still with the deferred deepest-hop reduction).
+    """
+    import jax
+    import optax
+
+    from graph_learn_tpu.core.values import Nodes
+    from graph_learn_tpu.gsl.compile import _execute
+    from graph_learn_tpu.nn.data import EgoGraph, PreAggregatedRows
+    from graph_learn_tpu.nn.loss import supervised_softmax_loss
+    from graph_learn_tpu.ops.aggregate import gather_group_agg
+
+    k1, _ = cfg["fanout"]
+    b = cfg["batch"]
+    n = cfg["n_nodes"]
+    K = cfg.get("scan_steps", 10)
+    hop_aliases = ["hop1", "hop2"]
+
+    @jax.jit
+    def multi_step(params, opt_state, tables_, key):
+        ft = tables_["nodes"]["item"].float_attrs
+
+        def sample_one(k):
+            ks, ksd = jax.random.split(k)
+            seeds = jax.random.randint(ksd, (b,), 0, n)
+            return _execute(q, tables_, seeds, ks)
+
+        def group(carry, gk):
+            p, o = carry
+            kexec, ktrain = jax.random.split(gk)
+            batch_g = jax.vmap(sample_one)(jax.random.split(kexec, G))
+            ids2 = batch_g["hop2"].ids  # [G, b, k1, k2]
+            agg2 = gather_group_agg(ft, ids2, op="mean")
+            agg2 = agg2.reshape(G, b * k1, ft.shape[-1])
+            xs = dict(
+                src=batch_g["src"],
+                hop1=batch_g["hop1"],
+                # hop2 payload is NEVER materialised: only ids (shape
+                # carrier) + the pre-reduced agg cross the phase boundary
+                hop2_ids=ids2,
+                agg2=agg2,
+                km=jax.random.split(ktrain, G))
+
+            def one(c2, x):
+                p2, o2 = c2
+                hop2 = Nodes(ids=x["hop2_ids"],
+                             float_attrs=PreAggregatedRows(x["agg2"],
+                                                           "mean"),
+                             type_name="item")
+                batch = {"src": x["src"], "hop1": x["hop1"], "hop2": hop2}
+
+                def lf(pp):
+                    ego = EgoGraph.from_query_result(batch, "src",
+                                                     hop_aliases)
+                    logits = model.apply(pp, ego, training=True,
+                                         rngs={"dropout": x["km"]})
+                    return supervised_softmax_loss(logits,
+                                                   batch["src"].labels)
+
+                loss, grads = jax.value_and_grad(lf)(p2)
+                updates, o3 = optimizer.update(grads, o2, p2)
+                return (optax.apply_updates(p2, updates), o3), loss
+
+            (p, o), losses = jax.lax.scan(one, (p, o), xs)
+            return (p, o), losses[-1]
+
+        (params, opt_state), losses = jax.lax.scan(
+            group, (params, opt_state), jax.random.split(key, K // G))
+        return params, opt_state, losses[-1]
+
+    return multi_step
+
+
 def run_bench(cfg):
     import jax
-    import jax.numpy as jnp
-    import numpy as np
     import optax
 
     import graph_learn_tpu as gl
-    from graph_learn_tpu.gsl.compile import _execute
     from graph_learn_tpu.nn.data import EgoGraph
-    from graph_learn_tpu.nn.loss import supervised_softmax_loss
     from graph_learn_tpu.nn.models.ego_gnn import EgoGraphSAGE
 
     t0 = time.perf_counter()
@@ -125,51 +220,22 @@ def run_bench(cfg):
     tables = q.device_tables()
     jax.block_until_ready(tables)
     _log("tables on device %.1fs" % (time.perf_counter() - t0))
-    hop_aliases = ["hop1", "hop2"]
 
     t0 = time.perf_counter()
     ds = gl.Dataset(q, window=1)
     b0 = ds.next()
     jax.block_until_ready(b0)
     _log("first plan batch %.1fs" % (time.perf_counter() - t0))
-    ego0 = EgoGraph.from_query_result(b0, "src", hop_aliases)
+    ego0 = EgoGraph.from_query_result(b0, "src", ["hop1", "hop2"])
     params = model.init(jax.random.key(0), ego0, training=False)
     optimizer = optax.adam(1e-3)
     opt_state = optimizer.init(params)
 
-    n = cfg["n_nodes"]
-
-    # scanned multi-step: K train steps per dispatch with device-side seed
-    # generation — no host in the loop at all (measured +33% over
-    # step-per-dispatch through the TPU tunnel)
     K = cfg.get("scan_steps", 10)
-
-    @jax.jit
-    def multi_step(params, opt_state, tables_, key):
-        def one(carry, k):
-            p, o = carry
-            ks, km, ksd = jax.random.split(k, 3)
-            seeds = jax.random.randint(ksd, (b,), 0, n)
-            batch = _execute(q, tables_, seeds, ks)
-
-            def lf(pp):
-                # deepest-hop features consumed via the deferred sorted
-                # segment gather (ops/aggregate.py gather_group_agg); the
-                # plan's own hop2 materialisation is dead code XLA removes
-                ego = EgoGraph.from_query_result(
-                    batch, "src", hop_aliases,
-                    defer_last_table=tables_["nodes"]["item"].float_attrs)
-                logits = model.apply(pp, ego, training=True,
-                                     rngs={"dropout": km})
-                return supervised_softmax_loss(logits, batch["src"].labels)
-
-            loss, grads = jax.value_and_grad(lf)(p)
-            updates, o2 = optimizer.update(grads, o, p)
-            return (optax.apply_updates(p, updates), o2), loss
-
-        (params, opt_state), losses = jax.lax.scan(
-            one, (params, opt_state), jax.random.split(key, K))
-        return params, opt_state, losses[-1]
+    G = int(os.environ.get("GLT_BENCH_GROUP", cfg.get("prefetch_group", 1)))
+    while K % G:  # largest divisor of K <= requested group size
+        G -= 1
+    multi_step = make_multi_step(q, tables, model, optimizer, cfg, G)
 
     # NOTE measurement honesty: through the axon tunnel,
     # block_until_ready() returns at dispatch-ack, NOT completion — the

@@ -51,6 +51,26 @@ class DeferredRows:
 
 
 @struct.dataclass
+class PreAggregatedRows:
+    """Deepest-hop features already reduced over the fanout axis.
+
+    Produced OUTSIDE the per-step train scan by the grouped-prefetch
+    pipeline (bench.py / trainers): several steps' hop indices are
+    gathered + group-reduced in ONE call — XLA's gather is
+    concurrency-limited at single-step index counts (PERF.md r3 frontier
+    table: 15.9 -> 12.2 ns/row at 4x the indices), and pre-reducing means
+    only [n_groups, D] per step is spilled to HBM between phases instead
+    of the raw [n_groups * k, D] rows.  EgoGNN consumes it through the
+    same ``neighbor_agg`` path as :class:`DeferredRows`; since the raw
+    rows were never materialised there is no fallback — the consuming
+    conv's ``deferred_op`` must match ``op``.
+    """
+
+    agg: jax.Array  # [n_groups, D] raw-attr group reduction
+    op: str = struct.field(pytree_node=False, default="mean")
+
+
+@struct.dataclass
 class EgoGraph:
     """src + K hops of neighbor Nodes.
 

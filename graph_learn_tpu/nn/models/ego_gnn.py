@@ -16,7 +16,9 @@ from flax import linen as nn
 
 from graph_learn_tpu.core.schema import Decoder
 from graph_learn_tpu.core.values import Nodes
-from graph_learn_tpu.nn.data import DeferredRows, EgoGraph
+from graph_learn_tpu.errors import InvalidArgumentError
+from graph_learn_tpu.nn.data import (DeferredRows, EgoGraph,
+                                     PreAggregatedRows)
 from graph_learn_tpu.nn.feature_column import FeatureEncoder
 from graph_learn_tpu.nn.layers.ego import (EgoGATConv, EgoGINConv, EgoLayer,
                                            EgoRGCNConv, EgoSAGEConv)
@@ -70,17 +72,28 @@ class EgoGNN(nn.Module):
         exactly as before.
         """
         values = [ego.src] + list(ego.hops)
-        if not ego.hops or not isinstance(ego.hops[-1].float_attrs,
-                                          DeferredRows):
+        fa = ego.hops[-1].float_attrs if ego.hops else None
+        if not isinstance(fa, (DeferredRows, PreAggregatedRows)):
             return values, None
-        dr = ego.hops[-1].float_attrs
         conv = self.layers[0].convs[-1]
         op = getattr(conv, "deferred_op", None)
         enc = self._enc_for(len(values) - 1)
-        if op is None or not _encoder_commutes(enc, op):
-            values[-1] = ego.hops[-1].replace(float_attrs=dr.materialize())
+        if isinstance(fa, PreAggregatedRows):
+            # grouped-prefetch path: raw rows were never materialised, so
+            # the reduction must match and the encoder must commute
+            if op != fa.op or not _encoder_commutes(enc, op):
+                raise InvalidArgumentError(
+                    "PreAggregatedRows(op=%r) cannot feed %s (deferred_op="
+                    "%r, encoder commutes=%s) — pre-aggregate with the "
+                    "conv's op and a float-only affine encoder"
+                    % (fa.op, type(conv).__name__, op,
+                       _encoder_commutes(enc, op) if op else "-"))
+            agg_raw = fa.agg
+        elif op is None or not _encoder_commutes(enc, op):
+            values[-1] = ego.hops[-1].replace(float_attrs=fa.materialize())
             return values, None
-        agg_raw = dr.group_agg(op)  # [n_prev_flat, D_raw]
+        else:
+            agg_raw = fa.group_agg(op)  # [n_prev_flat, D_raw]
         deep_agg = enc(Nodes(ids=jnp.zeros((agg_raw.shape[0],), jnp.int32),
                              float_attrs=agg_raw,
                              type_name=ego.hops[-1].type_name))

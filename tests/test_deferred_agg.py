@@ -130,6 +130,66 @@ def test_from_query_result_defers_last_hop(sorted_on):
         np.asarray(table[plain.hops[1].ids]))
 
 
+@pytest.mark.parametrize("agg", ["gcn", "mean", "sum", "max"])
+def test_preaggregated_matches_plain(agg):
+    # grouped-prefetch path (bench.py / trainers): deepest-hop rows are
+    # gathered + group-reduced OUTSIDE the train scan; EgoGNN must consume
+    # the PreAggregatedRows carrier identically to the materialised path
+    from graph_learn_tpu.nn.data import PreAggregatedRows
+
+    plain, _, dec = _ego_pair()
+    model = EgoGraphSAGE([8, 16, 4], dec, agg_type=agg)
+    params = model.init(jax.random.key(0), plain, training=False)
+    out_plain = model.apply(params, plain, training=False)
+
+    h2 = plain.hops[1]
+    op = model.layers[0].convs[-1].deferred_op
+    raw = h2.float_attrs.reshape(-1, h2.ids.shape[-1], 8)
+    agg_raw = {"mean": raw.mean(1), "sum": raw.sum(1),
+               "max": raw.max(1)}[op]
+    pre = plain.replace(hops=[
+        plain.hops[0],
+        h2.replace(float_attrs=PreAggregatedRows(agg_raw, op))])
+    out_pre = model.apply(params, pre, training=False)
+    np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_plain),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_preaggregated_op_mismatch_raises():
+    from graph_learn_tpu.errors import InvalidArgumentError
+    from graph_learn_tpu.nn.data import PreAggregatedRows
+
+    plain, _, dec = _ego_pair()
+    model = EgoGraphSAGE([8, 16, 4], dec, agg_type="max")
+    params = model.init(jax.random.key(0), plain, training=False)
+    h2 = plain.hops[1]
+    pre = plain.replace(hops=[
+        plain.hops[0],
+        h2.replace(float_attrs=PreAggregatedRows(
+            h2.float_attrs.reshape(-1, h2.ids.shape[-1], 8).mean(1),
+            "mean"))])
+    with pytest.raises(InvalidArgumentError):
+        model.apply(params, pre, training=False)
+
+
+def test_preaggregated_rejects_attention():
+    # GAT needs per-neighbor rows; a pre-reduced carrier cannot feed it
+    from graph_learn_tpu.errors import InvalidArgumentError
+    from graph_learn_tpu.nn.data import PreAggregatedRows
+
+    plain, _, dec = _ego_pair()
+    model = EgoGAT([8, 16, 4], dec, num_heads=[2, 2])
+    params = model.init(jax.random.key(0), plain, training=False)
+    h2 = plain.hops[1]
+    pre = plain.replace(hops=[
+        plain.hops[0],
+        h2.replace(float_attrs=PreAggregatedRows(
+            h2.float_attrs.reshape(-1, h2.ids.shape[-1], 8).mean(1),
+            "mean"))])
+    with pytest.raises(InvalidArgumentError):
+        model.apply(params, pre, training=False)
+
+
 def test_deferred_under_jit_and_grad(sorted_on):
     # the fused-train-step usage: deferral inside jit with value_and_grad
     plain, deferred, dec = _ego_pair()
