@@ -27,7 +27,7 @@ from graph_learn_tpu.core.schema import Decoder
 from graph_learn_tpu.core.store import EdgeTable, NodeTable
 from graph_learn_tpu.graph import Graph
 from graph_learn_tpu.gsl.compile import _execute
-from graph_learn_tpu.nn.data import EgoGraph
+from graph_learn_tpu.nn.data import EgoGraph, pre_aggregate_hop
 from graph_learn_tpu.nn.loss import supervised_softmax_loss
 from graph_learn_tpu.nn.models.ego_gnn import EgoGraphSAGE
 
@@ -82,6 +82,11 @@ def main():
             ks, km, ksd = jax.random.split(k, 3)
             seeds = jax.random.randint(ksd, (b,), 0, n)
             batch = _execute(q, tables_, seeds, ks)
+            # out-of-grad deepest-hop reduction: the [b*k1*k2, D] raw rows
+            # never enter value_and_grad (+19% on this config, PERF.md
+            # "the frontier moved")
+            batch = pre_aggregate_hop(
+                batch, "hop2", tables_["nodes"]["item"].float_attrs, "mean")
 
             def lf(pp):
                 ego = EgoGraph.from_query_result(batch, "src",

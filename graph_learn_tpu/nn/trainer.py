@@ -52,7 +52,14 @@ class LocalTrainer:
     def train(self, query: Query, model, params, loss_fn: Callable,
               optimizer: optax.GradientTransformation, epochs: int = 1,
               steps_per_epoch: Optional[int] = None,
-              log_every: int = 50, verbose: bool = True):
+              log_every: int = 50, verbose: bool = True,
+              batch_transform: Optional[Callable] = None):
+        """``batch_transform(batch, tables) -> batch`` (optional) runs
+        inside the jitted step but OUTSIDE value_and_grad — the place for
+        non-differentiated batch prep such as
+        :func:`graph_learn_tpu.nn.data.pre_aggregate_hop`, whose
+        out-of-grad deepest-hop reduction is worth +19% end-to-end on
+        gather-bound graphs (PERF.md)."""
         tables = query.device_tables()
         opt_state = optimizer.init(params)
         key = jax.random.key(self.seed)
@@ -64,6 +71,8 @@ class LocalTrainer:
         def step(params, opt_state, tables, seeds, key):
             ks, km = jax.random.split(key)
             batch = _execute(query, tables, seeds, ks)
+            if batch_transform is not None:
+                batch = batch_transform(batch, tables)
 
             def lf(p):
                 return loss_fn(model, p, batch, km, True)
@@ -105,7 +114,8 @@ class LocalTrainer:
         return params, history
 
     def evaluate(self, query: Query, model, params,
-                 metric_fn: Callable) -> float:
+                 metric_fn: Callable,
+                 batch_transform: Optional[Callable] = None) -> float:
         """metric_fn(model, params, batch) -> per-row metric values [b].
 
         A padded final batch only counts its first n_valid rows (the
@@ -117,6 +127,8 @@ class LocalTrainer:
         @jax.jit
         def ev(params, tables, seeds, key):
             batch = _execute(query, tables, seeds, key)
+            if batch_transform is not None:
+                batch = batch_transform(batch, tables)
             return metric_fn(model, params, batch)
 
         trav, idx = self._seed_stream(query)

@@ -183,3 +183,51 @@ def test_e2e_supervised_learning(tmp_path):
           .outV("rel").sample(3).by("random").alias("hop2").values())
     acc = tr.evaluate(tq, model, params, acc_fn)
     assert acc > 0.6, acc
+
+
+def test_trainer_batch_transform_pre_aggregate(tmp_path):
+    """pre_aggregate_hop via LocalTrainer(batch_transform=...) learns the
+    same task and evaluates equal to the plain path (out-of-grad
+    deepest-hop reduction, PERF.md 'the frontier moved')."""
+    from graph_learn_tpu.nn.data import pre_aggregate_hop
+
+    g, dec = _toy_supervised(tmp_path)
+    q = (g.V("item", mask=gl.Mask.TRAIN).batch(32).alias("src")
+         .outV("rel").sample(5).by("random").alias("hop1")
+         .outV("rel").sample(3).by("random").alias("hop2").values())
+    model = EgoGraphSAGE([16, 32, 3], dec, agg_type="gcn", dropout=0.0)
+    ds = gl.Dataset(q, window=1)
+    ego0 = EgoGraph.from_query_result(ds.next(), "src", ["hop1", "hop2"])
+    params = model.init(jax.random.key(0), ego0, training=False)
+
+    def transform(batch, tables):
+        return pre_aggregate_hop(
+            batch, "hop2", tables["nodes"]["item"].float_attrs, op="mean")
+
+    def loss_fn(model, p, batch, rng, training):
+        ego = EgoGraph.from_query_result(batch, "src", ["hop1", "hop2"])
+        logits = model.apply(p, ego, training=training,
+                             rngs={"dropout": rng})
+        return supervised_softmax_loss(logits, batch["src"].labels)
+
+    tr = LocalTrainer()
+    params, hist = tr.train(q, model, params, loss_fn, optax.adam(0.03),
+                            epochs=8, verbose=False,
+                            batch_transform=transform)
+    assert hist[-1] < hist[0] * 0.5, hist
+
+    def acc_fn(model, p, batch):
+        ego = EgoGraph.from_query_result(batch, "src", ["hop1", "hop2"])
+        logits = model.apply(p, ego, training=False)
+        return (jnp.argmax(logits, 1) == batch["src"].labels).astype(jnp.float32)
+
+    tq = (g.V("item", mask=gl.Mask.TEST).batch(32).alias("src")
+          .outV("rel").sample(5).by("random").alias("hop1")
+          .outV("rel").sample(3).by("random").alias("hop2").values())
+    # same params, same seeds: transformed eval == plain eval (the affine
+    # float encoder commutes with mean up to float rounding)
+    acc_pre = tr.evaluate(tq, model, params, acc_fn,
+                          batch_transform=transform)
+    acc_plain = tr.evaluate(tq, model, params, acc_fn)
+    assert abs(acc_pre - acc_plain) < 1e-6, (acc_pre, acc_plain)
+    assert acc_pre > 0.6, acc_pre
