@@ -261,9 +261,17 @@ class Graph:
         return edge_payload(et.device(), jnp.asarray(edge_ids, jnp.int32))
 
     # --- KNN (reference contrib/knn; graph.py:1054-1057) --------------
-    def search(self, node_type: str, inputs: np.ndarray, option):
+    def search(self, node_type: str, inputs: np.ndarray, option, mesh=None):
+        """k-NN over a node type's float attrs (reference Graph.search,
+        graph.py:1054-1057).  With ``mesh`` (a mesh with a "graph" axis)
+        the per-point arrays are range-partitioned over that axis and
+        each device searches its shard with a merged top-k — the
+        RemoteOperator fan-out of the reference KnnOperator
+        (knn_op.h:27-40) as one SPMD program; results are exactly equal
+        to the single-device search."""
         from graph_learn_tpu.ops import knn as knn_ops
-        key = (node_type, option.index_type)
+        sharded = mesh is not None and mesh.shape.get("graph", 1) > 1
+        key = (node_type, option.index_type, sharded)
         if not hasattr(self, "_knn_indexes"):
             self._knn_indexes = {}
         if key not in self._knn_indexes:
@@ -271,8 +279,10 @@ class Graph:
             if t.float_attrs is None:
                 raise InvalidArgumentError(
                     "node type %r has no float attrs for KNN" % node_type)
-            self._knn_indexes[key] = knn_ops.build_index(
-                t.float_attrs, t.raw_ids, option)
+            index = knn_ops.build_index(t.float_attrs, t.raw_ids, option)
+            if sharded:
+                index = knn_ops.shard_index(index, mesh)
+            self._knn_indexes[key] = index
         return self._knn_indexes[key].search(np.asarray(inputs, np.float32),
                                              option.k)
 

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from graph_learn_tpu.config import conf
-from graph_learn_tpu.core.sharding import edge_field, is_sharded
+from graph_learn_tpu.core.sharding import edge_field
 from graph_learn_tpu.core.values import Edges, Nodes, SparseNodes, SubGraphVal
 from graph_learn_tpu.errors import InvalidArgumentError
 from graph_learn_tpu.gsl.dag import Dag, DagNode
@@ -225,12 +225,13 @@ def _exec_node(query: Query, tables, node: DagNode, recs, seeds, key) -> _Rec:
         return _Rec(ids=walks, node_type=d_t, value=val)
 
     if kind == "subgraph":
+        # runs on plain AND graph-axis-sharded stores: the full-neighbor
+        # candidate pass inside induce_subgraph is a row-sharded op
+        # (ops/subgraph._full_candidates), everything downstream is
+        # id-sized and replicated — same distribution shape as the
+        # reference's SubGraphSampler over the partitioned GraphStore
+        # (subgraph_sampler.cc:27-80)
         et = tables["edges"][node.edge_type]
-        if is_sharded(et):
-            raise InvalidArgumentError(
-                "SubGraph induction is not yet supported on a "
-                "graph-axis-sharded store (use the edge-partitioned "
-                "full-graph path, parallel/partition.py, or graph_shards=1)")
         s_t, d_t = _node_types_of_edge(query, node.edge_type)
         flat, _ = _flat(parent.ids)
         sg = sg_ops.induce_subgraph(et.out, flat, nbr_cap=node.nbr_cap,

@@ -274,3 +274,158 @@ def build_index(data: np.ndarray, ids: np.ndarray,
     index.train(data)
     index.add(data, ids)
     return index
+
+
+# --- distributed KNN over the mesh "graph" axis -------------------------
+
+class ShardedIndex:
+    """Graph-axis-distributed KNN: per-shard search + merged top-k.
+
+    Reference: KnnOperator is a RemoteOperator — each server searches its
+    own partition's index and the results are merged
+    (graphlearn/src/contrib/knn/knn_op.h:27-40, knn_op.cc:52).  TPU
+    redesign as ONE SPMD program: coarse structures (IVF centroids, PQ
+    codebooks) are trained globally and REPLICATED (they are
+    nlist/ksub-sized), per-point arrays (vectors, codes, cell
+    assignments) are range-partitioned over the mesh "graph" axis; each
+    shard computes its local top-k and one all_gather + ascending-row
+    re-top-k merges EXACTLY to the single-device answer (``lax.top_k``
+    tie-breaks toward the lower index, and global data-row order is
+    preserved across range-partitioned shards).
+    """
+
+    def __init__(self, base, mesh, axis: str = "graph"):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax import shard_map
+
+        self.base = base
+        self.mesh = mesh
+        self.axis = axis
+        p = mesh.shape[axis]
+        self.nshards = p
+        n = base.ntotal
+        self.rps = rps = max(-(-n // p), 1)
+
+        def stack(a, pad_value=0.0):
+            a = np.asarray(a)
+            padded = np.full((p * rps,) + a.shape[1:], pad_value, a.dtype)
+            padded[:n] = a
+            return jnp.asarray(padded.reshape((p, rps) + a.shape[1:]))
+
+        stacked = {"valid": stack(np.ones(n, bool), False)}
+        repl = {}
+        kind = type(base).__name__
+        if kind == "FlatIndex":
+            stacked["data"] = stack(base._data)
+            self._kind = "flat"
+        elif kind == "IVFFlatIndex":
+            stacked["data"] = stack(base._data)
+            stacked["cell"] = stack(base._cell, -1)
+            repl["centroids"] = base.centroids
+            self._kind = "ivfflat"
+        elif kind == "IVFPQIndex":
+            stacked["codes"] = stack(base.codes)
+            stacked["cell"] = stack(base._cell, -1)
+            repl["centroids"] = base.coarse.centroids
+            repl["codebooks"] = base.codebooks
+            self._kind = "ivfpq"
+        else:
+            raise ValueError("cannot shard index type %s" % kind)
+        self.stacked = jax.device_put(stacked, NamedSharding(mesh, P(axis)))
+        self.repl = jax.device_put(repl, NamedSharding(mesh, P()))
+        self._jit_cache = {}
+
+    @property
+    def ntotal(self):
+        return self.base.ntotal
+
+    def _local_scores(self, q, blk, repl):
+        """[m, rps] scores of this shard's rows under the base formulas."""
+        base, kind = self.base, self._kind
+        if kind == "flat":
+            return _scores(q, blk["data"], base.metric)
+        if kind == "ivfflat":
+            cs = _scores(q, repl["centroids"], base.metric)
+            _, probe = jax.lax.top_k(cs, base.nprobe)  # replicated
+            in_probe = jnp.any(blk["cell"][None, :, None] ==
+                               probe[:, None, :], axis=-1)
+            s = _scores(q, blk["data"], base.metric)
+            return jnp.where(in_probe, s, -jnp.inf)
+        # ivfpq: ADC with replicated codebooks over the local code block
+        nq = q.shape[0]
+        cs = _scores(q, repl["centroids"], 0)
+        _, probe = jax.lax.top_k(cs, base.coarse.nprobe)
+        Pn = base.coarse.nprobe
+        resid = q[:, None, :] - repl["centroids"][probe]
+        rs = resid.reshape(nq, Pn, base.m, base.dsub)
+        diff = rs[:, :, :, None, :] - repl["codebooks"][None, None]
+        lut = -jnp.sum(diff * diff, axis=-1)  # [nq, P, m, ksub]
+        oh = jax.nn.one_hot(blk["codes"], base.ksub)  # [rps, m, ksub]
+        scores_p = jnp.einsum("qpms,nms->qpn", lut, oh)
+        match = blk["cell"][None, None, :] == probe[:, :, None]
+        return jnp.max(jnp.where(match, scores_p, -jnp.inf), axis=1)
+
+    def _build_search(self, m: int, k: int):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        axis, rps, p = self.axis, self.rps, self.nshards
+        kk = min(k, rps)
+
+        def body(stacked, repl, q):
+            blk = jax.tree.map(lambda x: x[0], stacked)
+            s = self._local_scores(q, blk, repl)
+            s = jnp.where(blk["valid"][None, :], s, -jnp.inf)
+            top, idx = jax.lax.top_k(s, kk)
+            rows = idx + jax.lax.axis_index(axis) * rps
+            if kk < k:
+                top = jnp.pad(top, ((0, 0), (0, k - kk)),
+                              constant_values=-jnp.inf)
+                rows = jnp.pad(rows, ((0, 0), (0, k - kk)),
+                               constant_values=2**31 - 1)
+            gt = jax.lax.all_gather(top, axis)    # [p, m, k]
+            gr = jax.lax.all_gather(rows, axis)
+            cand_s = jnp.transpose(gt, (1, 0, 2)).reshape(m, p * k)
+            cand_r = jnp.transpose(gr, (1, 0, 2)).reshape(m, p * k)
+            # ascending-global-row order reproduces the single-device
+            # tie-break (top_k prefers the lower index); padding rows
+            # carry -inf scores and park at the id-space end
+            sort_key = jnp.where(jnp.isfinite(cand_s), cand_r, 2**31 - 1)
+            order = jnp.argsort(sort_key, axis=-1)
+            s2 = jnp.take_along_axis(cand_s, order, axis=-1)
+            r2 = jnp.take_along_axis(cand_r, order, axis=-1)
+            top2, pos = jax.lax.top_k(s2, k)
+            rows2 = jnp.take_along_axis(r2, pos, axis=-1)
+            return top2, rows2
+
+        fn = shard_map(body, mesh=self.mesh,
+                       in_specs=(P(axis), P(), P()), out_specs=P(),
+                       check_vma=False)
+        return jax.jit(fn)
+
+    def search(self, queries: np.ndarray, k: int):
+        """-> (ids [m, k], distances [m, k]) — equal to base.search."""
+        q = jnp.asarray(queries, jnp.float32)
+        m = q.shape[0]
+        ck = (m, k)
+        if ck not in self._jit_cache:
+            self._jit_cache[ck] = self._build_search(m, k)
+        with jax.set_mesh(self.mesh):
+            top, rows = self._jit_cache[ck](self.stacked, self.repl, q)
+        top = np.asarray(top)
+        rows = np.asarray(rows)
+        valid = np.isfinite(top)
+        base_ids = np.asarray(self.base._ids)
+        ids = np.where(valid, base_ids[np.where(valid, rows, 0)], -1)
+        # ivfpq scores are ADC L2 regardless of the metric flag (the base
+        # index's behavior, mirrored for exact equality)
+        if self._kind == "ivfpq" or self.base.metric == 0:
+            dist = np.where(valid, -top, np.inf)
+        else:
+            dist = np.where(valid, top, -np.inf)
+        return ids, dist
+
+
+def shard_index(index, mesh, axis: str = "graph") -> ShardedIndex:
+    """Distribute a built index over the mesh graph axis (IndexManager +
+    RemoteOperator equivalent, knn_op.cc:52)."""
+    return ShardedIndex(index, mesh, axis=axis)

@@ -19,10 +19,35 @@ import jax
 import jax.numpy as jnp
 
 from graph_learn_tpu.config import conf
+from graph_learn_tpu.core.sharding import row_sharded_sampler
 from graph_learn_tpu.core.store import DeviceCSR
 from graph_learn_tpu.core.values import SubGraphVal
 from graph_learn_tpu.ops.segment import (flat_gather, row_bounds,
                                          row_bounds_csr)
+
+
+@row_sharded_sampler
+def _full_candidates(csr: DeviceCSR, rows: jax.Array, cap: int):
+    """Per-row full-neighbor candidate window: (nbr, eid, deg).
+
+    The only part of subgraph induction that reads the CSR — made
+    shard-transparent via :func:`row_sharded_sampler` so SubGraph/SEAL
+    induction runs on a graph-axis-sharded store exactly like any other
+    shardable sampling request (reference: SubGraphSampler's full-neighbor
+    pass is a regular distributed op, subgraph_sampler.cc:27-80 over the
+    partitioned GraphStore).  The seed-set membership intersection, edge
+    compaction and BFS distances downstream are id-sized and run
+    replicated on every shard.
+    """
+    start, _, deg = row_bounds(csr.row_offsets,
+                               jnp.minimum(rows, csr.num_rows - 1))
+    ar = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    pos = start[:, None] + ar
+    e = csr.n_edges
+    posc = jnp.clip(pos, 0, max(e - 1, 0))
+    nbr = flat_gather(csr.nbr_tiled, posc)
+    eid = flat_gather(csr.eid_tiled, posc)
+    return nbr, eid, deg
 
 
 def induce_subgraph(csr: DeviceCSR, seeds: jax.Array,
@@ -43,15 +68,9 @@ def induce_subgraph(csr: DeviceCSR, seeds: jax.Array,
     uniq = jnp.unique(seeds, size=b, fill_value=fill)
     num_nodes = jnp.sum(uniq < fill).astype(jnp.int32)
 
-    # full-neighbor candidates per unique seed
-    start, _, deg = row_bounds(csr.row_offsets,
-                               jnp.minimum(uniq, csr.num_rows - 1))
+    # full-neighbor candidates per unique seed (shard-transparent)
+    nbr, eid, deg = _full_candidates(csr, uniq, cap)
     ar = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    pos = start[:, None] + ar
-    e = csr.n_edges
-    posc = jnp.clip(pos, 0, max(e - 1, 0))
-    nbr = flat_gather(csr.nbr_tiled, posc)
-    eid = flat_gather(csr.eid_tiled, posc)
     row_valid = (ar < deg[:, None]) & (jnp.arange(b)[:, None] < num_nodes)
 
     # membership of neighbor in unique seed set (uniq is sorted; padding is

@@ -53,6 +53,16 @@ def make_partitioned_plan(query: Query, mesh: Mesh, stables,
     routing = routing or conf.partition_routing
     n_data = mesh.shape.get("data", 1)
 
+    has_subgraph = any(n.kind == "subgraph" for n in query.dag.nodes)
+    if has_subgraph and n_data > 1:
+        from graph_learn_tpu.errors import InvalidArgumentError
+        raise InvalidArgumentError(
+            "SubGraph induction on the partitioned store requires a "
+            "trivial data axis (a SubGraph is one value per batch; it "
+            "cannot be concatenated from per-data-shard inductions). "
+            "Use n_data=1 with the graph axis, or replicated tables for "
+            "data parallelism.")
+
     def body(stacked, repl, seeds, key):
         block = jax.tree.map(lambda x: x[0], stacked)  # graph-axis block
         view = stables.view(block, repl)
@@ -62,29 +72,36 @@ def make_partitioned_plan(query: Query, mesh: Mesh, stables,
         return _execute(query, view, seeds, key)
 
     def abstract_body(stacked, repl, seeds, key):
-        # structure discovery: same trace with collectives stubbed out
+        # structure discovery: same trace with collectives stubbed out.
+        # nshards=1 disables payload deferral so the psum-routing
+        # structure matches its real body (no Striped leaves).
         block = jax.tree.map(lambda x: x[0], stacked)
         view = stables.view(block, repl)
-        with owner_routing(axis, nsh, abstract=True):
+        with owner_routing(axis, nsh if routing == "owner" else 1,
+                           abstract=True):
             return _execute(query, view, seeds, key)
 
     _is_striped = lambda x: isinstance(x, Striped)
     _cache = {}
 
     def build(seeds, key):
-        if routing != "owner":
-            return shard_map(body, mesh=mesh,
-                             in_specs=(P(axis), P(), P("data"), P()),
-                             out_specs=P("data"), check_vma=False)
         local_seeds = jax.ShapeDtypeStruct(
             (seeds.shape[0] // n_data,) + seeds.shape[1:], seeds.dtype)
         out_struct = jax.eval_shape(abstract_body, stables.stacked,
                                     stables.repl, local_seeds, key)
-        out_specs = jax.tree.map(
-            lambda x: (Striped(local=P(("data", axis)),
+
+        def spec_of(x):
+            if _is_striped(x):
+                return Striped(local=P(("data", axis)),
                                logical_shape=x.logical_shape)
-                       if _is_striped(x) else P("data")),
-            out_struct, is_leaf=_is_striped)
+            if x.ndim == 0:
+                # rank-0 leaves (SubGraph num_nodes/num_edges) are
+                # replicated: n_data == 1 here (guard above) and every
+                # graph shard computes the identical psum-stitched value
+                return P()
+            return P("data")
+
+        out_specs = jax.tree.map(spec_of, out_struct, is_leaf=_is_striped)
         return shard_map(body, mesh=mesh,
                          in_specs=(P(axis), P(), P("data"), P()),
                          out_specs=out_specs, check_vma=False)

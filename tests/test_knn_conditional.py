@@ -155,3 +155,70 @@ def test_minimal_profile_blocks_unsupported(tmp_graph_dir):
         assert out["h1"].ids.shape == (4, 3)
     finally:
         c2.storage_profile = old
+
+
+# --- distributed KNN (VERDICT r3 Missing #2) ---------------------------
+
+@pytest.mark.parametrize("index_type", ["flat", "ivfflat", "ivfpq"])
+def test_sharded_knn_matches_single_device(index_type):
+    """Per-shard search + merged top-k over the 8-device mesh equals the
+    single-device index EXACTLY, for flat AND IVF variants (reference:
+    KnnOperator RemoteOperator per-server search + merge,
+    knn_op.h:27-40, knn_op.cc:52)."""
+    from graph_learn_tpu.ops.knn import build_index, shard_index
+    from graph_learn_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(7)
+    n, d = 203, 8  # n NOT divisible by 8: exercises shard padding
+    data = rng.standard_normal((n, d)).astype(np.float32)
+    ids = np.arange(1000, 1000 + n)
+    q = data[rng.integers(0, n, 17)] + \
+        0.01 * rng.standard_normal((17, d)).astype(np.float32)
+    for metric in (0, 1):
+        opt = KnnOption(k=5, index_type=index_type, nlist=8, nprobe=3,
+                        metric=metric)
+        base = build_index(data, ids, opt)
+        mesh = make_mesh(n_data=1, n_graph=8)
+        sharded = shard_index(base, mesh)
+        ids_s, dist_s = sharded.search(q, 5)
+        ids_b, dist_b = base.search(q, 5)
+        np.testing.assert_array_equal(ids_s, ids_b)
+        np.testing.assert_allclose(dist_s, dist_b, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_knn_k_exceeds_shard_rows():
+    """k > rows-per-shard: local top-k caps at the shard size and the
+    merge still recovers the exact global answer."""
+    from graph_learn_tpu.ops.knn import build_index, shard_index
+    from graph_learn_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(11)
+    data = rng.standard_normal((40, 4)).astype(np.float32)
+    ids = np.arange(40)
+    base = build_index(data, ids, KnnOption(k=12, index_type="flat"))
+    sharded = shard_index(base, make_mesh(n_data=1, n_graph=8))
+    q = data[:5]
+    ids_s, dist_s = sharded.search(q, 12)
+    ids_b, dist_b = base.search(q, 12)
+    np.testing.assert_array_equal(ids_s, ids_b)
+    np.testing.assert_allclose(dist_s, dist_b, rtol=1e-5, atol=1e-5)
+
+
+def test_graph_search_sharded_api(tmp_graph_dir):
+    """g.search(..., mesh=) returns the single-device answer."""
+    from graph_learn_tpu.parallel.mesh import make_mesh
+    g = gl.Graph()
+    g.node(tmp_graph_dir["node"], node_type="item",
+           decoder=gl.Decoder(weighted=True, labeled=True,
+                              attr_types=["float"] * 4))
+    g.edge(tmp_graph_dir["edge"], edge_type=("item", "item", "rel"),
+           decoder=gl.Decoder(weighted=True))
+    g.init()
+    t = g.store.node_table("item")
+    mesh = make_mesh(n_data=1, n_graph=8)
+    ids, dist = g.search("item", t.float_attrs[:3], KnnOption(k=2),
+                         mesh=mesh)
+    ids1, dist1 = g.search("item", t.float_attrs[:3], KnnOption(k=2))
+    np.testing.assert_array_equal(ids, ids1)
+    np.testing.assert_allclose(dist, dist1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(ids[:, 0], t.raw_ids[:3])
