@@ -86,6 +86,13 @@ class _Config:
     owner_route_capacity: float = 2.0
     # reference: config.h KnnMetric: 0 = L2, 1 = inner product
     knn_metric: int = 0
+    # serving-tier shard capacity slack: the partitioned QueryService
+    # builds its sharded tables with this much per-shard tail headroom so
+    # streaming appends keep block layouts stable and refresh() re-uploads
+    # only the shard blocks an update touched
+    # (ShardedTables.replace_blocks; DGS applies per-record updates to
+    # partitioned state, data_update_actor.act.h:29)
+    serving_shard_slack: float = 1.25
     # --- misc ----------------------------------------------------------
     seed: int = 0
     # reference: config.h StorageMode (2 = compressed/CSR).  We are always

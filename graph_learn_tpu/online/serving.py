@@ -91,6 +91,8 @@ class InstalledQuery:
         self._seed_aligned = not any(
             n.kind == "subgraph" for n in query.dag.nodes)
         self._fn = jax.jit(lambda t, s, k: _execute(query, t, s, k))
+        self._plan_fn = None  # shared compiled partitioned plan
+        self._plan_sig = None
         self._key = jax.random.key(conf.seed)
         self._snap = self._build_snapshot()
         self.latencies: List[float] = []
@@ -103,35 +105,68 @@ class InstalledQuery:
         self._worker.start()
 
     # -- snapshot lifecycle ------------------------------------------------
-    def _build_snapshot(self) -> _Snapshot:
+    def _build_snapshot(self, prev: Optional[_Snapshot] = None) -> _Snapshot:
         ns = self.query.graph.store.node_set(self.query.source.node_type)
         base = self.query.graph.store.node_table(ns.base_type)
         if self._graph_shards > 1:
             # partitioned serving (DGS partitions sample storage by vid
             # across serving workers, sample_store.h:71): every device
             # holds 1/P of the graph payload, so the SERVED graph scales
-            # with device count; streaming updates land via refresh() as
-            # a per-shard rebuild + atomic snapshot swap
+            # with device count.  Streaming updates land via refresh() as
+            # an INCREMENTAL per-shard delta upload: the new host blocks
+            # are diffed against the previous snapshot's and only touched
+            # shard blocks transfer (ShardedTables.replace_blocks; tail
+            # capacity from conf.serving_shard_slack keeps layouts stable
+            # under appends).  Layout overflow falls back to a full
+            # upload per leaf — always correct.
             from graph_learn_tpu.parallel.sharded_store import \
                 build_sharded_tables
             from graph_learn_tpu.parallel.train import make_partitioned_plan
             stables = build_sharded_tables(
-                self.query, self._graph_shards).place(self._mesh)
-            plan = make_partitioned_plan(self.query, self._mesh, stables)
-            return _Snapshot(base.index, stables, plan)
+                self.query, self._graph_shards,
+                slack=conf.serving_shard_slack)
+            if (prev is not None and prev.tables is not None
+                    and getattr(prev.tables, "host_stacked", None)
+                    is not None):
+                placed, up = prev.tables.replace_blocks(stables)
+                self.last_refresh_upload_bytes = up
+            else:
+                placed = stables.place(self._mesh)
+                self.last_refresh_upload_bytes = sum(
+                    x.nbytes for x in jax.tree.leaves(stables.stacked))
+            # ONE compiled plan per installed query: the tables enter as
+            # jit ARGUMENTS, so a refresh that keeps block layouts stable
+            # (the slack's job) reuses the compiled executable — no
+            # retrace, no recompile, just new device buffers
+            sig = self._tables_sig(placed)
+            if self._plan_fn is None or sig != self._plan_sig:
+                plan = make_partitioned_plan(self.query, self._mesh,
+                                             placed)
+                self._plan_fn = jax.jit(
+                    lambda st, rp, s, k: plan(s, k, stacked=st, repl=rp))
+                self._plan_sig = sig
+            return _Snapshot(base.index, placed, self._plan_fn)
         return _Snapshot(base.index, self.query.device_tables())
+
+    @staticmethod
+    def _tables_sig(placed):
+        leaves, treedef = jax.tree.flatten((placed.stacked, placed.repl))
+        return (treedef,
+                tuple((x.shape, str(x.dtype)) for x in leaves))
 
     def refresh(self):
         """Pick up applied graph updates.
 
-        Builds the next snapshot (host index + fresh device upload) while
-        requests continue against the current one, then swaps atomically.
+        Builds the next snapshot (host index + device delta upload) while
+        requests continue against the current one, then swaps atomically
+        — in-flight requests keep their captured snapshot (unchanged
+        shard buffers are shared between snapshots; all immutable).
         """
         for t in self.query.graph.store.nodes.values():
             t._device = None
         for t in self.query.graph.store.edges.values():
             t._device = None
-        self._snap = self._build_snapshot()
+        self._snap = self._build_snapshot(prev=self._snap)
 
     def close(self):
         self._queue.put(_SHUTDOWN)
@@ -206,10 +241,11 @@ class InstalledQuery:
 
     def _launch(self, snap: _Snapshot, seeds, sub):
         """One device launch against a snapshot (single-chip jit plan or
-        the partitioned shard_map plan)."""
+        the shared partitioned plan fed the snapshot's table buffers)."""
         if snap.plan is not None:
             with jax.set_mesh(self._mesh):
-                return snap.plan(seeds, sub)
+                return snap.plan(snap.tables.stacked, snap.tables.repl,
+                                 seeds, sub)
         return self._fn(snap.tables, seeds, sub)
 
     def _execute_batch(self, ids: np.ndarray):

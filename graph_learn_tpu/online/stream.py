@@ -144,8 +144,17 @@ class KafkaTopic:
         n = end - start if max_records is None else min(
             max_records, end - start)
         out = []
+        empty_polls = 0
         while len(out) < n:
             polled = self._consumer.poll(timeout_ms=1000)
+            if not polled:
+                # bounded retry: a broker that reported end offsets but
+                # stops delivering must not spin this reader forever
+                empty_polls += 1
+                if empty_polls >= 10:
+                    break
+                continue
+            empty_polls = 0
             for recs in polled.values():
                 out.extend(json.loads(r.value) for r in recs)
         return out[:n]

@@ -37,8 +37,19 @@ from graph_learn_tpu.core.store import (DeviceCSR, DeviceNodeTable,
 from graph_learn_tpu.ops.segment import pack_pairs_host, pad_lanes_host
 
 
-def _rps(n: int, p: int) -> int:
-    return max(-(-n // p), 1)
+def _rps(n: int, p: int, slack: float = 1.0) -> int:
+    """Rows per shard under range partition; ``slack`` > 1 reserves tail
+    capacity so appended rows land in existing padding and incremental
+    refresh (ShardedTables.replace_blocks) only re-uploads the tail
+    block instead of re-slicing every block.  Slacked capacities are
+    QUANTIZED (to 64 rows) so small appends keep rows-per-shard — and
+    with it every block's shape and ownership map — bit-stable; without
+    quantization ceil(n*slack/p) would drift on every append and force
+    full re-slices."""
+    base = max(-(-int(n * slack) // p), 1)
+    if slack > 1.0:
+        base = -(-base // 64) * 64
+    return base
 
 
 def _pad_rows(a: Optional[np.ndarray], rows: int) -> Optional[np.ndarray]:
@@ -50,9 +61,9 @@ def _pad_rows(a: Optional[np.ndarray], rows: int) -> Optional[np.ndarray]:
     return np.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
 
 
-def _stack_node_table(nt: NodeTable, p: int):
+def _stack_node_table(nt: NodeTable, p: int, slack: float = 1.0):
     """-> (stacked fields dict, replicated dict, meta)."""
-    rps = _rps(nt.num_nodes, p)
+    rps = _rps(nt.num_nodes, p, slack)
     fa = nt.float_attrs
     if fa is not None and conf.feature_dtype == "bfloat16":
         import ml_dtypes
@@ -69,7 +80,7 @@ def _stack_node_table(nt: NodeTable, p: int):
             continue
         shards = [_pad_rows(arr[s * rps:(s + 1) * rps], rps)
                   for s in range(p)]
-        stacked[name] = jnp.asarray(np.stack(shards))
+        stacked[name] = np.stack(shards)
     repl = {}
     if nt.weights is not None and nt.num_nodes:
         w = np.maximum(nt.weights.astype(np.float64), 0.0)
@@ -77,21 +88,20 @@ def _stack_node_table(nt: NodeTable, p: int):
         if total <= 0:
             w = np.ones_like(w)
             total = w.sum()
-        repl["cum_weights"] = jnp.asarray(
-            np.cumsum(w / total).astype(np.float32))
+        repl["cum_weights"] = np.cumsum(w / total).astype(np.float32)
     meta = {"rps": rps, "n_global": nt.num_nodes}
     return stacked, repl, meta
 
 
 def _shard_csr_arrays(rows: np.ndarray, cols: np.ndarray, num_rows: int,
                       p: int, sort_key, sort_desc, weights, dst_in_degrees,
-                      timestamps, minimal: bool):
+                      timestamps, minimal: bool, slack: float = 1.0):
     """Per-shard CSR arrays over a range partition of ``rows``.
 
     Neighbor ids and edge ids stay GLOBAL; only row indexing is local.
     All shards are padded to a common edge tile count so they stack.
     """
-    rps = _rps(num_rows, p)
+    rps = _rps(num_rows, p, slack)
     per = []
     for s in range(p):
         lo, hi = s * rps, (s + 1) * rps
@@ -108,7 +118,11 @@ def _shard_csr_arrays(rows: np.ndarray, cols: np.ndarray, num_rows: int,
         per.append(dict(ro=ro, nbr=nbr, eids=eids, nbr_s=nbr_s, eid_s=eid_s,
                         cumw=cumw, cumind=cumind, nts=nts))
     e_max = max(x["nbr"].shape[0] for x in per)
-    e_pad = -(-max(e_max, 1) // 128) * 128
+    # slacked builds quantize the padded edge count coarsely (8 tiles) so
+    # appends don't re-tile every shard when e_max*slack crosses a
+    # 128-row boundary (incremental-refresh layout stability)
+    _q = 1024 if slack > 1.0 else 128
+    e_pad = -(-max(int(e_max * slack), 1) // _q) * _q
     maxdeg = max(int(np.diff(x["ro"]).max()) if x["ro"].size > 1 else 0
                  for x in per)
 
@@ -122,12 +136,12 @@ def _shard_csr_arrays(rows: np.ndarray, cols: np.ndarray, num_rows: int,
                 a = a.astype(dtype)
             a = np.concatenate([a, np.zeros(e_pad - a.shape[0], a.dtype)])
             outs.append(pad_lanes_host(a))
-        return jnp.asarray(np.stack(outs))
+        return np.stack(outs)
 
     stacked = {
-        "row_offsets": jnp.asarray(np.stack([x["ro"] for x in per])),
-        "off_pairs": jnp.asarray(np.stack(
-            [pack_pairs_host(x["ro"][:-1], x["ro"][1:]) for x in per])),
+        "row_offsets": np.stack([x["ro"] for x in per]),
+        "off_pairs": np.stack(
+            [pack_pairs_host(x["ro"][:-1], x["ro"][1:]) for x in per]),
         "nbr_tiled": tile("nbr"),
         "eid_tiled": tile("eids"),
     }
@@ -145,25 +159,26 @@ def _shard_csr_arrays(rows: np.ndarray, cols: np.ndarray, num_rows: int,
     return stacked, meta
 
 
-def _stack_edge_table(et: EdgeTable, p: int, minimal: bool):
+def _stack_edge_table(et: EdgeTable, p: int, minimal: bool,
+                      slack: float = 1.0):
     src32 = et.src.astype(np.int32)
     dst32 = et.dst.astype(np.int32)
     out_arrs, out_meta = _shard_csr_arrays(
         et.src.astype(np.int64), dst32, et.num_src_nodes, p,
         et._sort_key, et._sort_desc, et.weights, et.in_degrees,
-        et.timestamps, minimal)
+        et.timestamps, minimal, slack)
     stacked = {"out": out_arrs}
     meta = {"out": out_meta}
     if not minimal:
         inc_arrs, inc_meta = _shard_csr_arrays(
             et.dst.astype(np.int64), src32, et.num_dst_nodes, p,
             et._sort_key, et._sort_desc, et.weights, et.out_degrees,
-            et.timestamps, minimal)
+            et.timestamps, minimal, slack)
         stacked["inc"] = inc_arrs
         meta["inc"] = inc_meta
 
     # edge-row payload blocks
-    eps = _rps(et.num_edges, p)
+    eps = _rps(et.num_edges, p, slack)
     fields = {"src": src32, "dst": dst32, "weights": et.weights,
               "labels": et.labels,
               "timestamps": None if et.timestamps is None
@@ -176,7 +191,7 @@ def _stack_edge_table(et: EdgeTable, p: int, minimal: bool):
             continue
         shards = [_pad_rows(arr[s * eps:(s + 1) * eps], eps)
                   for s in range(p)]
-        stacked[name] = jnp.asarray(np.stack(shards))
+        stacked[name] = np.stack(shards)
 
     repl = {}
     if not minimal:
@@ -185,7 +200,7 @@ def _stack_edge_table(et: EdgeTable, p: int, minimal: bool):
             d = degs[uniq].astype(np.float64)
             tot = d.sum()
             cdf = np.cumsum(d / (tot if tot > 0 else 1.0)).astype(np.float32)
-            return jnp.asarray(uniq.astype(np.int32)), jnp.asarray(cdf)
+            return uniq.astype(np.int32), cdf
 
         repl["unique_dst"], repl["unique_dst_indeg_cdf"] = _pool(
             dst32, et.in_degrees)
@@ -277,11 +292,84 @@ class ShardedTables:
     def place(self, mesh: Mesh) -> "ShardedTables":
         """device_put the stacked arrays along mesh 'graph' (leading axis)
         and the replicated arrays everywhere, so the first step doesn't
-        re-lay anything out."""
+        re-lay anything out.  The host (numpy) blocks are kept on the
+        returned object (``host_stacked``) so a later
+        :meth:`replace_blocks` can detect which shard blocks an update
+        actually touched."""
         stacked = jax.device_put(
             self.stacked, NamedSharding(mesh, P(self.axis)))
         repl = jax.device_put(self.repl, NamedSharding(mesh, P()))
-        return dataclasses.replace(self, stacked=stacked, repl=repl)
+        out = dataclasses.replace(self, stacked=stacked, repl=repl)
+        out.host_stacked = self.stacked
+        out.mesh = mesh
+        return out
+
+    # set by place(); not dataclass fields so older pickles/uses are fine
+    host_stacked: Optional[Dict] = None
+    mesh: Optional[Mesh] = None
+
+    def replace_blocks(self, new: "ShardedTables"):
+        """Incremental refresh: upload only shard blocks an update touched.
+
+        ``self`` must be a placed table set (device arrays + kept host
+        blocks); ``new`` is a freshly host-built one with the SAME shard
+        count.  For every leaf whose shape/dtype is unchanged, per-shard
+        blocks are compared host-side and device buffers of UNCHANGED
+        blocks are REUSED — only changed blocks are device_put.  Leaves
+        whose layout changed (capacity overflow: eps/e_pad/rps moved) fall
+        back to a full upload of that leaf.  Returns
+        ``(placed_new, uploaded_bytes)``.
+
+        Reference: DGS applies per-record updates to partitioned state
+        (data_update_actor.act.h:29) instead of rebuilding stores; this is
+        the device-array equivalent — O(delta) transfer, O(store) host
+        hashing (the host store rebuild already costs that).
+        """
+        assert self.host_stacked is not None and self.mesh is not None, \
+            "replace_blocks requires a placed ShardedTables"
+        mesh = self.mesh
+        uploaded = [0]
+
+        def _merge(old_dev, old_host, new_host):
+            if (old_host is None or old_dev is None
+                    or old_host.shape != new_host.shape
+                    or old_host.dtype != new_host.dtype):
+                uploaded[0] += new_host.nbytes
+                return jax.device_put(
+                    new_host, NamedSharding(mesh, P(self.axis)))
+            bufs = []
+            for sh in old_dev.addressable_shards:
+                s = sh.index[0].start or 0
+                blk_new = new_host[s:s + 1]
+                if np.array_equal(old_host[s:s + 1], blk_new):
+                    bufs.append(sh.data)
+                else:
+                    uploaded[0] += blk_new.nbytes
+                    bufs.append(jax.device_put(blk_new, sh.device))
+            return jax.make_array_from_single_device_arrays(
+                old_dev.shape, old_dev.sharding, bufs)
+
+        def _walk(old_dev_d, old_host_d, new_host_d):
+            out = {}
+            for k, nh in new_host_d.items():
+                od = old_dev_d.get(k) if old_dev_d else None
+                oh = old_host_d.get(k) if old_host_d else None
+                if isinstance(nh, dict):
+                    out[k] = _walk(od or {}, oh or {}, nh)
+                else:
+                    out[k] = _merge(od, oh, nh)
+            return out
+
+        stacked = _walk(self.stacked, self.host_stacked, new.stacked)
+        # replicated leaves are id-sized; re-upload wholesale (counted)
+        uploaded[0] += sum(
+            x.nbytes for x in jax.tree.leaves(new.repl)
+            if hasattr(x, "nbytes"))
+        repl = jax.device_put(new.repl, NamedSharding(mesh, P()))
+        placed = dataclasses.replace(new, stacked=stacked, repl=repl)
+        placed.host_stacked = new.stacked
+        placed.mesh = mesh
+        return placed, uploaded[0]
 
 
 def _query_types(query):
@@ -327,11 +415,14 @@ def estimate_query_table_bytes(query) -> int:
 
 
 def build_sharded_tables(query, num_shards: int,
-                         profile: Optional[str] = None) -> ShardedTables:
+                         profile: Optional[str] = None,
+                         slack: float = 1.0) -> ShardedTables:
     """Shard every table the query touches over ``num_shards``.
 
     Walks the same type set as Query.device_tables (gsl/compile.py) but
     produces [P, ...]-stacked host arrays instead of single-device tables.
+    ``slack`` > 1 reserves per-shard tail capacity so streaming appends
+    keep block layouts stable for incremental refresh (serving tier).
     """
     minimal = (profile or conf.storage_profile) == "minimal"
     store = query.graph.store
@@ -340,10 +431,11 @@ def build_sharded_tables(query, num_shards: int,
     repl = {"nodes": {}, "edges": {}}
     meta = {"nodes": {}, "edges": {}}
     for t in node_types:
-        s, r, m = _stack_node_table(store.node_table(t), num_shards)
+        s, r, m = _stack_node_table(store.node_table(t), num_shards, slack)
         stacked["nodes"][t], repl["nodes"][t], meta["nodes"][t] = s, r, m
     for t in edge_types:
-        s, r, m = _stack_edge_table(store.edge_table(t), num_shards, minimal)
+        s, r, m = _stack_edge_table(store.edge_table(t), num_shards, minimal,
+                                    slack)
         stacked["edges"][t], repl["edges"][t], meta["edges"][t] = s, r, m
     # .where() conditional negatives: the ConditionTable (value-sorted
     # runs + CDFs, id-sized) stays REPLICATED — only the positive-dst

@@ -114,11 +114,17 @@ def make_partitioned_plan(query: Query, mesh: Mesh, stables,
         shp = x.logical_shape
         return x.local.reshape((shp[0] * n_data,) + tuple(shp[1:]))
 
-    def plan(seeds, key):
+    def plan(seeds, key, stacked=None, repl=None):
+        """stacked/repl default to the closed-over stables'; pass them
+        explicitly to keep the table arrays jit ARGUMENTS (required in
+        multi-process settings, where a process cannot materialise a
+        closed-over constant spanning non-addressable devices)."""
         ck = (seeds.shape, str(seeds.dtype))
         if ck not in _cache:
             _cache[ck] = build(seeds, key)
-        out = _cache[ck](stables.stacked, stables.repl, seeds, key)
+        out = _cache[ck](stacked if stacked is not None else stables.stacked,
+                         repl if repl is not None else stables.repl,
+                         seeds, key)
         return jax.tree.map(_reassemble, out, is_leaf=_is_striped)
 
     return plan
@@ -138,12 +144,15 @@ def make_partitioned_train_step(query: Query, model, loss_fn: Callable,
     seed_sh = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
 
+    # the sharded tables enter as jit ARGUMENTS (not closure constants):
+    # in multi-process meshes a process holds only its addressable blocks,
+    # and jit would otherwise inline small tables as full-value constants
     @partial(jax.jit,
-             in_shardings=(repl, repl, seed_sh, repl),
+             in_shardings=(repl, repl, seed_sh, repl, None, None),
              out_shardings=(repl, repl, repl))
-    def step(params, opt_state, seeds, key):
+    def step_impl(params, opt_state, seeds, key, stacked, repl_tables):
         ks, km = jax.random.split(key)
-        batch = plan(seeds, ks)
+        batch = plan(seeds, ks, stacked=stacked, repl=repl_tables)
 
         def lf(p):
             return loss_fn(model, p, batch, km, True)
@@ -152,6 +161,10 @@ def make_partitioned_train_step(query: Query, model, loss_fn: Callable,
         updates, opt_state2 = optimizer.update(grads, opt_state, params)
         params2 = optax.apply_updates(params, updates)
         return params2, opt_state2, loss
+
+    def step(params, opt_state, seeds, key):
+        return step_impl(params, opt_state, seeds, key,
+                         stables.stacked, stables.repl)
 
     return step
 
