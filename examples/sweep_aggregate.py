@@ -7,8 +7,8 @@ scatter-accumulate cost.  This prototype builds the real kernel and
 measures every stage so the floor argument is numbers, not estimates:
 
   bar        XLA gather + reshape-mean (the op being replaced)
-  sort       argsort of the flat indices (prep stage 1)
-  hitlist    per-slab hit tables via searchsorted + scatter (prep stage 2)
+  prep       argsort of the flat indices + packed flat hit list
+             (local_row | group << 12) + per-slab start offsets
   stream     Pallas kernel that only streams the table (roofline)
   sweep      Pallas kernel: stream slabs + VMEM scatter-accumulate into
              the [G, D] output via a per-hit loop (THE measured question:
@@ -17,9 +17,10 @@ measures every stage so the floor argument is numbers, not estimates:
 The sweep kernel:
   grid over slabs of R table rows; the table streams through VMEM via the
   BlockSpec pipeline (double-buffered).  A prep pass in XLA sorts the
-  flat gather indices, buckets them by slab, and emits per-slab padded
-  hit tables (local row in slab, output group id).  The kernel loops over
-  the slab's hits accumulating rows into the resident [G, D] f32 output.
+  flat gather indices and packs (local row in slab, output group id)
+  into one int32 per hit; the flat hit list + slab starts ride as
+  scalar-prefetch operands (unblocked SMEM).  The kernel loops over the
+  slab's hit run accumulating rows into the resident [G, D] f32 output.
   Output stays in VMEM across grid steps (constant block index);
   correctness is asserted against the XLA reference.
 
@@ -35,55 +36,56 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def make_sweep_kernel(n_rows, n_groups, R, cap, D=128,
-                      hits_in_smem=False):
+def make_sweep_kernel(n_rows, n_groups, R, D=128):
+    """Hit list rides as flat SCALAR-PREFETCH arrays (unblocked SMEM):
+    ``packed[j] = local_row | group << 12`` sorted by slab, with per-slab
+    ``starts`` offsets.  Mosaic's 8x128 block tiling forbids (1, cap)
+    VMEM/SMEM hit-table blocks; scalar-prefetch operands are exempt, and
+    the kernel reads them scalar-at-a-time anyway (loop bounds + dynamic
+    row ids for the VMEM read-modify-write)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n_slabs = -(-n_rows // R)
+    assert R <= (1 << 12)
 
-    def kernel(counts_ref, hits_ref, gids_ref, slab_ref, out_ref):
+    def kernel(starts_ref, packed_ref, slab_ref, out_ref):
         s = pl.program_id(0)
 
         @pl.when(s == 0)
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        cnt = counts_ref[s]
-
-        def body(i, _):
-            r = hits_ref[0, i]
-            g = gids_ref[0, i]
+        def body(j, _):
+            v = packed_ref[j]
+            r = v & (R - 1)
+            g = v >> 12
             out_ref[g, :] += slab_ref[r, :]
             return 0
 
-        jax.lax.fori_loop(0, cnt, body, 0, unroll=False)
+        jax.lax.fori_loop(starts_ref[s], starts_ref[s + 1], body, 0,
+                          unroll=False)
 
-    hit_space = pltpu.SMEM if hits_in_smem else pltpu.VMEM
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # counts
+        num_scalar_prefetch=2,  # starts, packed
         grid=(n_slabs,),
         in_specs=[
-            pl.BlockSpec((1, cap), lambda s, c: (s, 0),
-                         memory_space=hit_space),
-            pl.BlockSpec((1, cap), lambda s, c: (s, 0),
-                         memory_space=hit_space),
-            pl.BlockSpec((R, D), lambda s, c: (s, 0),
+            pl.BlockSpec((R, D), lambda s, st, pk: (s, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n_groups, D), lambda s, c: (0, 0),
+        out_specs=pl.BlockSpec((n_groups, D), lambda s, st, pk: (0, 0),
                                memory_space=pltpu.VMEM),
     )
 
     @jax.jit
-    def sweep(counts, hits, gids, table):
+    def sweep(starts, packed, table):
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_groups, D), jnp.float32),
-        )(counts, hits, gids, table)
+        )(starts, packed, table)
 
     return sweep
 
@@ -120,12 +122,13 @@ def make_stream_kernel(n_rows, R, D=128):
     return stream
 
 
-def make_prep(n_rows, R, cap, n_slabs):
-    """XLA prep: sorted hit tables per slab.
+def make_prep(n_rows, R, n_slabs):
+    """XLA prep: flat sorted packed hit list + per-slab start offsets.
 
-    flat [N] row ids -> (counts [n_slabs], hits [n_slabs, cap] local rows,
-    gids [n_slabs, cap] output group ids).  Cost of this stage is part of
-    the sweep path's total and is timed separately.
+    flat [N] row ids -> (starts [n_slabs+1] int32,
+    packed [N] int32 = local_row | group << 12, sorted by row so slab
+    runs are contiguous).  Cost of this stage is part of the sweep
+    path's total and is timed separately.
     """
     import jax
     import jax.numpy as jnp
@@ -137,17 +140,11 @@ def make_prep(n_rows, R, cap, n_slabs):
         rows_sorted = flat[order]
         groups_sorted = (order // k).astype(jnp.int32)
         slab_of = rows_sorted // R
-        # position of each hit within its slab's bucket
-        starts = jnp.searchsorted(slab_of, jnp.arange(n_slabs))
-        pos = jnp.arange(n) - starts[slab_of]
-        counts = jnp.bincount(slab_of, length=n_slabs).astype(jnp.int32)
-        overflow = jnp.sum((pos >= cap).astype(jnp.int32))
-        posc = jnp.minimum(pos, cap - 1)
-        hits = jnp.zeros((n_slabs, cap), jnp.int32).at[
-            slab_of, posc].set((rows_sorted - slab_of * R).astype(jnp.int32))
-        gids = jnp.zeros((n_slabs, cap), jnp.int32).at[
-            slab_of, posc].set(groups_sorted)
-        return jnp.minimum(counts, cap), hits, gids, overflow
+        starts = jnp.searchsorted(
+            slab_of, jnp.arange(n_slabs + 1)).astype(jnp.int32)
+        packed = ((rows_sorted - slab_of * R).astype(jnp.int32)
+                  | (groups_sorted << 12))
+        return starts, packed
 
     return prep
 
@@ -177,43 +174,48 @@ def main():
     R = args.slab
     n_slabs = -(-n_rows // R)
     G = N // k
-    mean_hits = N / n_slabs
-    cap = int(min(max(4 * mean_hits, 64), N))
-    print("[sweep] rows=%d N=%d k=%d slabs=%d cap=%d out=%.1fMB "
-          "slab=%.1fMB" % (n_rows, N, k, n_slabs, cap, G * D * 4 / 1e6,
-                           R * D * 4 / 1e6), flush=True)
+    assert G < (1 << 18) and R <= (1 << 12)
+    print("[sweep] rows=%d N=%d k=%d slabs=%d out=%.1fMB slab=%.1fMB "
+          "hitlist=%.1fKB(smem)" % (n_rows, N, k, n_slabs,
+                                    G * D * 4 / 1e6, R * D * 4 / 1e6,
+                                    N * 4 / 1e3), flush=True)
 
     rng = np.random.default_rng(0)
-    table = jnp.asarray(rng.standard_normal((n_rows, D), np.float32))
-    prep = make_prep(n_rows, R, cap, n_slabs)
+    # generate the table ON DEVICE: uploading 1.25 GB through the tunnel
+    # costs minutes (PERF.md warmup section) and is not what we measure
+    table = jax.jit(
+        lambda k: jax.random.normal(k, (n_rows, D), jnp.float32)
+    )(jax.random.key(0))
+    jax.block_until_ready(table)
+    print("[sweep] table resident %.2f GB" % (n_rows * D * 4 / 1e9),
+          flush=True)
+    prep = make_prep(n_rows, R, n_slabs)
 
-    def ref(flat):
-        rows = table[flat]
+    def ref(tbl, flat):
+        # table is an ARGUMENT, not a closure constant: jit lowers large
+        # closure constants by materialising them on host (PERF.md)
+        rows = tbl[flat]
         return jnp.mean(rows.reshape(G, k, D), axis=1)
 
     ref_j = jax.jit(ref)
 
     if args.interpret_check or jax.default_backend() == "cpu":
         # correctness in interpret mode at the small shape
-        from jax.experimental import pallas as pl  # noqa: F401
         flat = jnp.asarray(rng.integers(0, n_rows, N, dtype=np.int32))
-        counts, hits, gids, ov = prep(flat, k)
-        assert int(ov) == 0, "hit-table overflow at cap=%d" % cap
-        import jax.experimental.pallas as _pl
-        sweep = make_sweep_kernel(n_rows, G, R, cap, D)
-        # interpret mode: monkey-wrap via pltpu interpret flag
+        starts, packed = prep(flat, k)
+        sweep = make_sweep_kernel(n_rows, G, R, D)
         from jax.experimental.pallas import tpu as pltpu
         with pltpu.force_tpu_interpret_mode():
-            out_sum = sweep(counts, hits, gids, table)
+            out_sum = sweep(starts, packed, table)
         got = out_sum / k
-        want = ref_j(flat)
+        want = ref_j(table, flat)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
         print("[sweep] interpret-mode correctness OK", flush=True)
         return
 
     # --- timed on hardware (true value-pull barriers, PERF.md rule 6) ---
-    sweep = make_sweep_kernel(n_rows, G, R, cap, D)
+    sweep = make_sweep_kernel(n_rows, G, R, D)
     stream = make_stream_kernel(n_rows, R, D)
     steps = args.steps
     keys = [jnp.asarray(rng.integers(0, n_rows, N, dtype=np.int32))
@@ -231,24 +233,24 @@ def main():
         return dt
 
     # the bar
-    t_bar = timeit(ref_j, "bar: gather+reshape-mean", *[(f,) for f in keys])
+    t_bar = timeit(ref_j, "bar: gather+reshape-mean",
+                   *[(table, f) for f in keys])
     # prep stages
-    t_prep = timeit(prep, "prep: sort+hitlists",
+    t_prep = timeit(prep, "prep: sort+packed hitlist",
                     *[(f, k) for f in keys])
-    preps = [tuple(prep(f, k)[:3]) for f in keys]
+    preps = [tuple(prep(f, k)) for f in keys]
     # roofline
     timeit(stream, "stream: full-table sum", (table,))
     # the kernel
     t_kern = timeit(sweep, "sweep: scatter-accumulate",
-                    *[(c, h, g2, table) for (c, h, g2) in preps])
+                    *[(s, pk, table) for (s, pk) in preps])
     print("[sweep] total sweep path = %.3f ms (prep %.3f + kernel %.3f) "
           "vs bar %.3f ms" % (t_prep + t_kern, t_prep, t_kern, t_bar),
           flush=True)
     # correctness on hardware
-    counts, hits, gids, ov = prep(keys[0], k)
-    assert int(ov) == 0
-    got = sweep(counts, hits, gids, table) / k
-    want = ref_j(keys[0])
+    starts, packed = prep(keys[0], k)
+    got = sweep(starts, packed, table) / k
+    want = ref_j(table, keys[0])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
     print("[sweep] hardware correctness OK", flush=True)
