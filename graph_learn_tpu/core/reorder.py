@@ -114,7 +114,7 @@ def reorder_store(store, strategy: str = "bfs") -> Dict[str, np.ndarray]:
             if a is not None:
                 setattr(nt, f, a[inv])
         nt.index = IdIndex(nt.raw_ids)
-        nt._device = None
+        nt._device = {}
 
     for e_t, et in list(store.edges.items()):
         ps = perms.get(et.src_type)
@@ -138,5 +138,5 @@ def reorder_store(store, strategy: str = "bfs") -> Dict[str, np.ndarray]:
         p = perms.get(ns.base_type)
         if p is not None and ns.indices is not None:
             ns.indices = p[ns.indices].astype(np.int32)
-            ns._device = None
+            ns._device = {}
     return perms

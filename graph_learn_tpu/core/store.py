@@ -191,6 +191,18 @@ def _opt_put(x):
     return None if x is None else jnp.asarray(x)
 
 
+def _placement_key() -> str:
+    """Cache key for lazily-built device views.
+
+    A host-tier Dataset (gsl/dataset.py tier='host') builds its tables
+    under ``jax.default_device(cpu)`` so the graph stays in host RAM;
+    keying the per-table cache by the active default device keeps those
+    host-pinned views from leaking into device-tier consumers (and vice
+    versa) when both tiers read the same store."""
+    d = jax.config.jax_default_device
+    return "default" if d is None else str(d)
+
+
 class IdIndex:
     """raw int64 id -> dense int32 index (reference AutoIndex)."""
 
@@ -249,14 +261,15 @@ class NodeTable:
         self.weights = chk(weights, "weights", np.float32)
         self.labels = chk(labels, "labels", np.int32)
         self.timestamps = chk(timestamps, "timestamps", np.int64)
-        self._device: Optional[DeviceNodeTable] = None
+        self._device: Dict[str, DeviceNodeTable] = {}
 
     @property
     def num_nodes(self) -> int:
         return len(self.raw_ids)
 
     def device(self) -> DeviceNodeTable:
-        if self._device is None:
+        pk = _placement_key()
+        if pk not in self._device:
             cum = None
             if self.weights is not None and self.num_nodes:
                 w = np.maximum(self.weights.astype(np.float64), 0.0)
@@ -271,7 +284,7 @@ class NodeTable:
                 # dominant cost of the fused train step
                 import ml_dtypes
                 fa = fa.astype(ml_dtypes.bfloat16)
-            self._device = DeviceNodeTable(
+            self._device[pk] = DeviceNodeTable(
                 raw_ids=_put(self.raw_ids),
                 int_attrs=_opt_put(self.int_attrs),
                 float_attrs=_opt_put(fa),
@@ -282,7 +295,7 @@ class NodeTable:
                 timestamps=_opt_put(self.timestamps),
                 cum_weights=_opt_put(cum),
             )
-        return self._device
+        return self._device[pk]
 
 
 def _build_csr(rows: np.ndarray, cols: np.ndarray, num_rows: int,
@@ -376,7 +389,7 @@ class EdgeTable:
                                else np.asarray(multival_attrs, np.int32))
         self.multival_lens = (None if multival_lens is None
                               else np.asarray(multival_lens, np.int32))
-        self._device: Optional[DeviceEdgeTable] = None
+        self._device: Dict[str, DeviceEdgeTable] = {}
 
         # adjacency sort key: ts asc > weight desc > insertion
         if self.timestamps is not None:
@@ -396,7 +409,8 @@ class EdgeTable:
         return self.src.size
 
     def device(self) -> DeviceEdgeTable:
-        if self._device is None:
+        pk = _placement_key()
+        if pk not in self._device:
             minimal = conf.storage_profile == "minimal"
             src32 = self.src.astype(np.int32)
             dst32 = self.dst.astype(np.int32)
@@ -463,7 +477,7 @@ class EdgeTable:
             else:
                 u_dst, u_dst_cdf = _pool(dst32, self.in_degrees)
                 u_src, u_src_cdf = _pool(src32, self.out_degrees)
-            self._device = DeviceEdgeTable(
+            self._device[pk] = DeviceEdgeTable(
                 out=out, inc=inc, src=_put(src32), dst=_put(dst32),
                 unique_dst=u_dst, unique_dst_indeg_cdf=u_dst_cdf,
                 unique_src=u_src, unique_src_outdeg_cdf=u_src_cdf,
@@ -474,7 +488,7 @@ class EdgeTable:
                 weights=_opt_put(self.weights),
                 labels=_opt_put(self.labels),
                 timestamps=_opt_put(self.timestamps))
-        return self._device
+        return self._device[pk]
 
 
 @dataclasses.dataclass
@@ -491,18 +505,20 @@ class NodeSet:
     base_type: str  # raw node type
     indices: np.ndarray  # [M] int32
     weights: Optional[np.ndarray] = None
-    _device: Optional[DeviceNodeSet] = None
+    _device: Dict[str, DeviceNodeSet] = dataclasses.field(
+        default_factory=dict)
 
     @property
     def size(self) -> int:
         return self.indices.size
 
     def device(self) -> DeviceNodeSet:
-        if self._device is None:
-            self._device = DeviceNodeSet(
+        pk = _placement_key()
+        if pk not in self._device:
+            self._device[pk] = DeviceNodeSet(
                 indices=_put(self.indices.astype(np.int32)),
                 weights=_opt_put(self.weights))
-        return self._device
+        return self._device[pk]
 
 
 class GraphStore:
@@ -602,4 +618,4 @@ def unify_ts_bases(store: "GraphStore") -> None:
         t.timestamps = (absolute - lo) // scale
         t.ts_base = lo
         t.ts_scale = scale
-        t._device = None
+        t._device = {}

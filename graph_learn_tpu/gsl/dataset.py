@@ -11,6 +11,19 @@ execution — dispatching the plan returns device futures (JAX async
 dispatch), so a lookahead window of ``conf.dataset_capacity`` batches keeps
 the device pipeline full while the host loop consumes.  Epoch boundaries
 are preserved by queueing an EOF marker in order.
+
+Storage tiers (``tier=`` / conf.storage_device):
+- ``"device"`` (default): tables live in accelerator HBM; the whole plan
+  is one on-device jitted fn — the fast path.
+- ``"host"``: tables stay in host RAM (built under
+  ``jax.default_device(cpu)``); the SAME jitted plan executes on the CPU
+  backend and only the per-batch result pytree is device_put to the
+  accelerator, overlapped by the prefetch window.  This is the
+  out-of-core tier for graphs larger than HBM on a single chip — the
+  reference's architecture (host-resident MemoryGraphStorage feeding the
+  accelerator through the from_generator seam, nn/tf/data/dataset.py:
+  226-241) recreated as a fallback; past a few chips the sharded store
+  (parallel/sharded_store.py) is the faster way to hold big graphs.
 """
 
 from __future__ import annotations
@@ -32,10 +45,21 @@ _EOF = object()
 
 class Dataset:
     def __init__(self, query: Query, window: Optional[int] = None,
-                 seed: Optional[int] = None, drop_last: bool = False):
+                 seed: Optional[int] = None, drop_last: bool = False,
+                 tier: Optional[str] = None,
+                 device: Optional[jax.Device] = None):
+        """``tier``: "device" (tables in HBM) or "host" (tables in host
+        RAM, plan runs on the CPU backend, batches transfer).  ``device``:
+        where host-tier batches land (default: the backend's first
+        device); ignored for the device tier."""
+        from graph_learn_tpu.errors import InvalidArgumentError
         self.query = query
         self.window = window if window is not None else conf.dataset_capacity
         self.drop_last = drop_last
+        self.tier = tier if tier is not None else conf.storage_device
+        if self.tier not in ("device", "host"):
+            raise InvalidArgumentError(
+                "tier must be 'device' or 'host', got %r" % (self.tier,))
         size, space = query.source_space()
         self._space = space
         src = query.source
@@ -47,8 +71,22 @@ class Dataset:
             self._seed_indices = ns.indices
         else:
             self._seed_indices = None
-        self._key = jax.random.key(conf.seed if seed is None else seed)
-        self._tables = query.device_tables()
+        if self.tier == "host":
+            self._host_dev = jax.devices("cpu")[0]
+            self._target_dev = device
+            with jax.default_device(self._host_dev):
+                self._key = jax.random.key(
+                    conf.seed if seed is None else seed)
+                self._tables = query.device_tables()
+            # default_device only PLACES arrays; commit them so the jitted
+            # plan runs on the CPU backend instead of migrating the whole
+            # store to the accelerator (jit follows committed args)
+            self._tables = jax.device_put(self._tables, self._host_dev)
+            self._key = jax.device_put(self._key, self._host_dev)
+        else:
+            self._host_dev = self._target_dev = None
+            self._key = jax.random.key(conf.seed if seed is None else seed)
+            self._tables = query.device_tables()
         self._plan = query.build()
         self._pending = deque()
 
@@ -68,7 +106,18 @@ class Dataset:
             seeds = (self._seed_indices[positions]
                      if self._seed_indices is not None else positions)
             self._key, sub = jax.random.split(self._key)
-            out = self._plan(self._tables, jnp.asarray(seeds, jnp.int32), sub)
+            if self.tier == "host":
+                # sample on the CPU backend from host-resident tables;
+                # ship ONLY the batch to the accelerator (async — the
+                # transfer overlaps inside the prefetch window)
+                with jax.default_device(self._host_dev):
+                    out = self._plan(self._tables,
+                                     jnp.asarray(seeds, jnp.int32), sub)
+                tgt = self._target_dev or jax.devices()[0]
+                out = jax.device_put(out, tgt)
+            else:
+                out = self._plan(self._tables, jnp.asarray(seeds, jnp.int32),
+                                 sub)
             return out, count
 
     def _refill(self):

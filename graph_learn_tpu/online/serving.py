@@ -163,9 +163,9 @@ class InstalledQuery:
         shard buffers are shared between snapshots; all immutable).
         """
         for t in self.query.graph.store.nodes.values():
-            t._device = None
+            t._device = {}
         for t in self.query.graph.store.edges.values():
-            t._device = None
+            t._device = {}
         self._snap = self._build_snapshot(prev=self._snap)
 
     def close(self):
