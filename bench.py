@@ -1,6 +1,11 @@
 """Benchmark: fused EgoSAGE sample+train throughput in aggregated edges/s.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints the headline JSON line {"metric", "value", "unit", "vs_baseline"}
+as soon as the default config is measured, then (plain runs) re-prints
+the same record with the 62M-edge scale fields added after the scale
+config runs — first-line and last-line readers both get a complete
+record even if a harness timeout interrupts the (long: one-time tunnel
+cost) scale phase.
 
 The metric counts edges flowing through the fused train step per second:
 batch * (k1 + k1*k2) sampled-and-aggregated edges per step (2-hop EgoSAGE,
@@ -318,9 +323,17 @@ def main():
         "unit": "edges/s/chip",
         "vs_baseline": round(eps / base, 2) if base else None,
     }
-    # the 62M-edge frontier metric, emitted from a PLAIN run so the
-    # driver artifact audits it without env flags (VERDICT r3 weak #3);
-    # same JSON line to keep the one-line contract
+    # emit the headline line IMMEDIATELY: the one-time tunnel session
+    # cost is paid inside run_bench's warmup and varies by two orders of
+    # magnitude (PERF.md warmup section; 2105s observed) — if a driver
+    # timeout lands during the scale phase below, this complete line is
+    # already on stdout
+    print(json.dumps(rec), flush=True)
+    # the 62M-edge frontier metric, from the same PLAIN run so the driver
+    # artifact audits it without env flags (VERDICT r3 weak #3): a SECOND
+    # json line repeating the record with the scale fields added — a
+    # last-line reader sees the full record, a first-line reader the
+    # headline
     if not SMALL and os.environ.get("GLT_BENCH_NO_SCALE") != "1":
         import gc
         gc.collect()
@@ -332,9 +345,9 @@ def main():
             rec["ego_sage_scale62m_edges_per_s"] = round(seps, 1)
             rec["scale62m_vs_r02_record"] = round(
                 seps / SCALE_BASELINE_EPS, 2)
+            print(json.dumps(rec), flush=True)
         finally:
             conf.storage_profile = prev
-    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -82,7 +82,13 @@ def main():
     steps = cfg["steps"]
     edges_per_step = b * (k1 + k1 * k2)
 
-    def make_step(pre: bool):
+    def make_step(pre: int):
+        # pre=2: REMAT — jax.checkpoint around the whole loss.  The
+        # gathered hop rows are lf's (closure) inputs so they are saved,
+        # while the wide [b*k1*k2, heads*hidden] internal projections —
+        # the measured GAT floor — are dropped and recomputed in the
+        # backward pass: trades ~1 extra forward of MXU FLOPs for the
+        # HBM round trips of every attention residual.
         @jax.jit
         def multi(params, opt_state, tables_, key):
             ft = tables_["nodes"]["item"].float_attrs
@@ -92,7 +98,7 @@ def main():
                 ks, km, ksd = jax.random.split(k, 3)
                 seeds = jax.random.randint(ksd, (b,), 0, n)
                 batch = _execute(q, tables_, seeds, ks)
-                if pre:
+                if pre == 1:
                     # params-independent gather OUT of the grad region
                     ids2 = batch["hop2"].ids
                     rows = feature_gather(
@@ -110,7 +116,11 @@ def main():
                     return supervised_softmax_loss(logits,
                                                    batch["src"].labels)
 
-                loss, grads = jax.value_and_grad(lf)(p)
+                if pre == 2:
+                    lf_ = jax.checkpoint(lf)
+                else:
+                    lf_ = lf
+                loss, grads = jax.value_and_grad(lf_)(p)
                 updates, o2 = optimizer.update(grads, o, p)
                 return (optax.apply_updates(p, updates), o2), loss
 
@@ -120,8 +130,10 @@ def main():
 
         return multi
 
-    for pre in (0, 1):
-        fn = make_step(bool(pre))
+    variants = (0, 1, 2) if os.environ.get("GLT_GAT_VARIANTS") is None \
+        else tuple(int(x) for x in os.environ["GLT_GAT_VARIANTS"].split(","))
+    for pre in variants:
+        fn = make_step(pre)
         params, opt_state = params0, opt_state0
         t0 = time.perf_counter()
         params, opt_state, loss = fn(params, opt_state, tables,
