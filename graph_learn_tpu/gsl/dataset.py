@@ -47,11 +47,16 @@ class Dataset:
     def __init__(self, query: Query, window: Optional[int] = None,
                  seed: Optional[int] = None, drop_last: bool = False,
                  tier: Optional[str] = None,
-                 device: Optional[jax.Device] = None):
+                 device: Optional[jax.Device] = None,
+                 transform=None):
         """``tier``: "device" (tables in HBM) or "host" (tables in host
         RAM, plan runs on the CPU backend, batches transfer).  ``device``:
         where host-tier batches land (default: the backend's first
-        device); ignored for the device tier."""
+        device); ignored for the device tier.  ``transform(batch, tables)
+        -> batch`` runs fused into the jitted plan call — on the host
+        tier it executes on the CPU backend BEFORE the transfer, so e.g.
+        :func:`nn.data.pre_aggregate_hop` shrinks what crosses to the
+        accelerator by the deepest fanout."""
         from graph_learn_tpu.errors import InvalidArgumentError
         self.query = query
         self.window = window if window is not None else conf.dataset_capacity
@@ -88,6 +93,12 @@ class Dataset:
             self._key = jax.random.key(conf.seed if seed is None else seed)
             self._tables = query.device_tables()
         self._plan = query.build()
+        if transform is not None:
+            plan = self._plan
+            self._call = jax.jit(
+                lambda t, s, k: transform(plan(t, s, k), t))
+        else:
+            self._call = self._plan
         self._pending = deque()
 
     @property
@@ -111,12 +122,12 @@ class Dataset:
                 # ship ONLY the batch to the accelerator (async — the
                 # transfer overlaps inside the prefetch window)
                 with jax.default_device(self._host_dev):
-                    out = self._plan(self._tables,
+                    out = self._call(self._tables,
                                      jnp.asarray(seeds, jnp.int32), sub)
                 tgt = self._target_dev or jax.devices()[0]
                 out = jax.device_put(out, tgt)
             else:
-                out = self._plan(self._tables, jnp.asarray(seeds, jnp.int32),
+                out = self._call(self._tables, jnp.asarray(seeds, jnp.int32),
                                  sub)
             return out, count
 

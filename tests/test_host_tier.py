@@ -104,6 +104,74 @@ def test_bad_tier_rejected(g):
         gl.Dataset(_query(g), tier="gpu")
 
 
+def test_local_trainer_host_tier(tmp_path):
+    """End-to-end supervised learning on the host tier: sampling (and the
+    out-of-grad deepest-hop pre-reduction) run on the CPU backend from
+    host-resident tables; only batches reach the jitted train step.
+    Mirrors tests/test_nn.py::test_e2e_supervised_learning on the device
+    tier."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    import optax
+    from data.synthetic import cora_like
+
+    from graph_learn_tpu.nn.data import EgoGraph, pre_aggregate_hop
+    from graph_learn_tpu.nn.loss import supervised_softmax_loss
+    from graph_learn_tpu.nn.models.ego_gnn import EgoGraphSAGE
+    from graph_learn_tpu.nn.trainer import LocalTrainer
+
+    d = str(tmp_path / "cora")
+    cora_like(d, n=300, classes=3, feat_dim=16, avg_degree=6, seed=1)
+    dec = gl.Decoder(labeled=True, attr_types=["float"] * 16)
+    gg = (gl.Graph()
+          .node(os.path.join(d, "node_table"), "item", dec)
+          .edge(os.path.join(d, "edge_table"), ("item", "item", "rel"),
+                gl.Decoder(weighted=True), directed=False)
+          .node(os.path.join(d, "train_table"), "item",
+                gl.Decoder(weighted=True), mask=gl.Mask.TRAIN)
+          .node(os.path.join(d, "test_table"), "item",
+                gl.Decoder(weighted=True), mask=gl.Mask.TEST)).init()
+    q = (gg.V("item", mask=gl.Mask.TRAIN).batch(32).alias("src")
+         .outV("rel").sample(5).by("random").alias("hop1")
+         .outV("rel").sample(3).by("random").alias("hop2").values())
+    model = EgoGraphSAGE([16, 32, 3], dec, agg_type="gcn", dropout=0.0)
+    ego0 = EgoGraph.from_query_result(gl.Dataset(q, window=1).next(),
+                                      "src", ["hop1", "hop2"])
+    params = model.init(jax.random.key(0), ego0, training=False)
+
+    def transform(batch, tables):
+        # pre-reduction BEFORE the host->accelerator transfer: the
+        # shipped hop2 payload shrinks by the deepest fanout
+        return pre_aggregate_hop(
+            batch, "hop2", tables["nodes"]["item"].float_attrs, op="mean")
+
+    def loss_fn(model, p, batch, rng, training):
+        ego = EgoGraph.from_query_result(batch, "src", ["hop1", "hop2"])
+        logits = model.apply(p, ego, training=training,
+                             rngs={"dropout": rng})
+        return supervised_softmax_loss(logits, batch["src"].labels)
+
+    tr = LocalTrainer()
+    params, hist = tr.train(q, model, params, loss_fn, optax.adam(0.03),
+                            epochs=8, verbose=False, tier="host",
+                            batch_transform=transform)
+    assert hist[-1] < hist[0] * 0.5, hist
+
+    def acc_fn(model, p, batch):
+        ego = EgoGraph.from_query_result(batch, "src", ["hop1", "hop2"])
+        logits = model.apply(p, ego, training=False)
+        return (jax.numpy.argmax(logits, 1)
+                == batch["src"].labels).astype(jax.numpy.float32)
+
+    tq = (gg.V("item", mask=gl.Mask.TEST).batch(32).alias("src")
+          .outV("rel").sample(5).by("random").alias("hop1")
+          .outV("rel").sample(3).by("random").alias("hop2").values())
+    acc = tr.evaluate(tq, model, params, acc_fn, tier="host")
+    assert acc > 0.6, acc
+
+
 def test_conf_storage_device_default(g):
     conf.storage_device = "host"
     try:
