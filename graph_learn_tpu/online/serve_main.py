@@ -127,6 +127,11 @@ def serve(cfg: dict, block: bool = True):
 
 
 def main(argv=None):
+    # honor GLT_PLATFORM before any backend initialises (this image's
+    # sitecustomize preimports jax, so plain JAX_PLATFORMS env is too
+    # late — utils/platform.py)
+    from graph_learn_tpu.utils.platform import ensure_platform
+    ensure_platform()
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--config", required=True, help="config JSON path")
     ap.add_argument("--port", type=int, default=None,
