@@ -150,3 +150,37 @@ def test_segment_spmm_bfloat16_table():
     ref = segment_spmm_xla(feats.astype(jnp.float32), ids, degs, agg="sum")
     np.testing.assert_allclose(np.asarray(out, dtype=np.float32),
                                np.asarray(ref), rtol=3e-2, atol=3e-2)
+
+
+def test_sweep_aggregate_kernel_interpret_correct():
+    """The sweep-aggregate prototype (examples/sweep_aggregate.py) was
+    measured and REJECTED on throughput at the frontier shape (PERF.md
+    r4: total 4.78 ms vs the 2.68 ms gather bar), but the kernel design
+    — flat scalar-prefetch hit list packing local_row | group << 12,
+    VMEM-resident [G, D] accumulator across the slab grid — is the
+    template for re-measuring at higher draw densities.  Keep it exact:
+    interpret-mode output equals XLA gather + reshape-mean."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples"))
+    from sweep_aggregate import make_prep, make_sweep_kernel
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    n_rows, N, k, D, R = 4096, 2048, 8, 128, 1024
+    n_slabs = -(-n_rows // R)
+    G = N // k
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.standard_normal((n_rows, D)).astype(np.float32))
+    flat = jnp.asarray(rng.integers(0, n_rows, N).astype(np.int32))
+    starts, packed = make_prep(n_rows, R, n_slabs)(flat, k)
+    # slab runs are contiguous in the sorted hit list
+    assert int(starts[0]) == 0 and int(starts[-1]) == N
+    sweep = make_sweep_kernel(n_rows, G, R, D)
+    with pltpu.force_tpu_interpret_mode():
+        out = sweep(starts, packed, table) / k
+    ref = jnp.mean(table[flat].reshape(G, k, D), axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
