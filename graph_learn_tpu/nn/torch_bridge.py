@@ -73,19 +73,30 @@ class TorchDataset(_TorchIterable):
 
     def __init__(self, query, window: int = 10,
                  induce_func: Optional[Callable] = None,
-                 epochs: int = 1):
+                 epochs: int = 1, tier: Optional[str] = None):
+        """``tier="host"`` keeps the graph in host RAM AND pins the
+        sampled batches to the host CPU device — torch consumers copy to
+        CPU tensors anyway, so the accelerator round-trip is pure waste
+        for this bridge (the out-of-core + torch-DDP shape of the
+        reference's pytorch dataset, nn/pytorch/data/dataset.py:31)."""
         if torch is None:
             raise ImportError("torch is not available")
         self._query = query
         self._window = window
         self._induce = induce_func
         self._epochs = epochs
+        self._tier = tier
 
     def __iter__(self):
         import jax
 
+        kw = {}
+        if self._tier is not None:
+            kw["tier"] = self._tier
+            if self._tier == "host":
+                kw["device"] = jax.devices("cpu")[0]
         for _ in range(self._epochs):
-            ds = _GLDataset(self._query, window=self._window)
+            ds = _GLDataset(self._query, window=self._window, **kw)
             while True:
                 try:
                     batch, count = ds.next_with_count()
@@ -113,9 +124,11 @@ class Collater:
 
 
 def torch_loader(query, window: int = 10,
-                 induce_func: Optional[Callable] = None, **kwargs):
+                 induce_func: Optional[Callable] = None,
+                 tier: Optional[str] = None, **kwargs):
     """torch DataLoader over a GSL query (reference PyGDataLoader)."""
-    ds = TorchDataset(query, window=window, induce_func=induce_func)
+    ds = TorchDataset(query, window=window, induce_func=induce_func,
+                      tier=tier)
     kwargs.pop("batch_size", None)
     kwargs.pop("collate_fn", None)
     return torch.utils.data.DataLoader(ds, batch_size=1,

@@ -111,6 +111,25 @@ def test_torch_bridge(g):
     assert out == (8, (8, 3))
 
 
+def test_torch_bridge_host_tier_stays_on_host(g):
+    """TorchDataset(tier='host'): the graph is host-resident AND batches
+    stay pinned to the host CPU device (torch copies to CPU anyway — the
+    accelerator round-trip is skipped for this bridge)."""
+    torch = pytest.importorskip("torch")
+    import jax
+
+    from graph_learn_tpu.nn.torch_bridge import TorchDataset
+    q = (g.V("item").batch(8).alias("src")
+         .outV("rel").sample(3).by("topk").alias("hop")
+         .values())
+    host = list(TorchDataset(q, window=1, tier="host"))
+    dev = list(TorchDataset(q, window=1))
+    assert len(host) == len(dev)
+    # deterministic (topk + by_order): tiers agree exactly
+    assert torch.equal(host[0]["hop"]["ids"], dev[0]["hop"]["ids"])
+    assert isinstance(host[0]["src"]["ids"], torch.Tensor)
+
+
 def test_torch_bridge_trims_partial_batch(g):
     """Final partial batch must not leak padded rows (review regression)."""
     pytest.importorskip("torch")
