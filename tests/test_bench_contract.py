@@ -22,6 +22,12 @@ def bench_mod(monkeypatch):
     import bench
     monkeypatch.setattr(bench, "SMALL", False)
     monkeypatch.setattr(bench, "cpu_baseline", lambda cfg: 2.0e6)
+    # bench.main() mutates process-global conf (feature_dtype=bfloat16,
+    # and the SCALE path sets storage_profile=minimal): restore it so
+    # these contract tests cannot poison the rest of the suite
+    from graph_learn_tpu.config import conf
+    monkeypatch.setattr(conf, "feature_dtype", conf.feature_dtype)
+    monkeypatch.setattr(conf, "storage_profile", conf.storage_profile)
     return bench
 
 
