@@ -454,4 +454,5 @@ def _exec_conditional_neg(query: Query, tables, node: DagNode, recs, flat,
         et, ct, flat, pos_dst, pia, pfa, node.count, key,
         int_cols, int_props,
         list(cond.get("float_cols", [])), list(cond.get("float_props", [])),
-        base_draw)
+        base_draw, batch_share=bool(cond.get("batch_share", False)),
+        unique=bool(cond.get("unique", False)), reverse=reverse)

@@ -126,13 +126,22 @@ class DagNode:
         self.filter_alias = target if isinstance(target, str) else target.alias_name
         return self
 
+    _WHERE_KEYS = ("batch_share", "unique", "int_cols", "int_props",
+                   "float_cols", "float_props", "str_cols", "str_props")
+
     def where(self, target: str, condition: Optional[dict] = None) -> "DagNode":
         """Conditional negative sampling (dag_node.py:233).
 
         The strategy set by ``.by()`` becomes the base (unconditioned)
         draw; conditioned quotas come from condition's
-        int_cols/int_props/float_cols/float_props/str_cols/str_props.
+        int_cols/int_props/float_cols/float_props/str_cols/str_props;
+        ``batch_share``/``unique`` control the rejection set
+        (dag_node.py:240-242, conditional_negative_sampler.cc:108-116).
         """
+        for kk in (condition or {}):
+            if kk not in self._WHERE_KEYS:
+                raise InvalidArgumentError(
+                    "condition %r is not supported." % kk)
         self.filter_alias = target if isinstance(target, str) else target.alias_name
         self.condition = dict(condition or {})
         self.base_strategy = self.strategy

@@ -102,6 +102,35 @@ def _sample_matching(col: ColumnIndex, pos_vals: jax.Array, n_draw: int,
     return jnp.where(found[:, None], drawn, fallback)
 
 
+def _batch_member(pool: jax.Array, cands: jax.Array) -> jax.Array:
+    """True where a candidate appears anywhere in ``pool`` (a small 1-D id
+    set, e.g. the batch's positive dsts)."""
+    sp = jnp.sort(pool)
+    pos = jnp.searchsorted(sp, cands, side="left")
+    pos = jnp.clip(pos, 0, sp.shape[0] - 1)
+    return sp[pos] == cands
+
+
+def _mark_pool_dups(pool: jax.Array, ok: jax.Array) -> jax.Array:
+    """dup[b, i] = pool[b, i] equals an EARLIER acceptable pool element —
+    dedupe keeping the first acceptable occurrence (the reference inserts
+    accepted draws into ``nbr_set`` when ``unique``,
+    attribute_nodes_map.h:118-123)."""
+    m = pool.shape[1]
+    eq = pool[:, :, None] == pool[:, None, :]
+    lower = jnp.tril(jnp.ones((m, m), bool), -1)  # j < i
+    return jnp.any(eq & lower[None] & ok[:, None, :], axis=-1)
+
+
+def _first_q_acceptable(pool: jax.Array, ok: jax.Array, q: int) -> jax.Array:
+    """First q acceptable candidates per row, in draw order; rows with
+    fewer than q acceptable relax and take the earliest rejected draws
+    (the reference clears ``nbr_set`` after retries,
+    conditional_negative_sampler.cc:133-143)."""
+    order = jnp.argsort(~ok, axis=1, stable=True)  # acceptable first
+    return jnp.take_along_axis(pool, order[:, :q], axis=1)
+
+
 def conditional_negative_sample(
         et: DeviceEdgeTable, ct: ConditionTable, seeds: jax.Array,
         pos_dst: jax.Array,
@@ -110,14 +139,28 @@ def conditional_negative_sample(
         k: int, key: jax.Array,
         int_cols: Sequence[int], int_props: Sequence[float],
         float_cols: Sequence[int], float_props: Sequence[float],
-        base_draw) -> jax.Array:
+        base_draw, batch_share: bool = False, unique: bool = False,
+        reverse: bool = False) -> jax.Array:
     """-> [b, k] negative node indices.
 
     ``base_draw(key, shape)`` draws unconditioned candidates (strategy-
     weighted).  Quotas follow the reference: per column
     round(prop * k), remainder unconditioned.
+
+    Rejection parity (conditional_negative_sampler.cc:110-155): by default
+    each seed's true neighbors AND its positive dst are excluded; with
+    ``batch_share`` the exclusion set is the batch's positive dsts instead.
+    Each quota fills with the first acceptable draws from a pool of
+    ``quota * (conf.sampling_retry_times + 1)`` candidates — the parallel
+    form of the reference's retry stream (attribute_nodes_map.h:111-125);
+    rows short of acceptable candidates relax and accept rejected draws
+    (the reference clears ``nbr_set`` after retries).  ``unique``
+    additionally rejects within-row duplicates, across quota parts.
     """
+    from graph_learn_tpu.ops.negative import _reject_neighbors
+
     b = seeds.shape[0]
+    R = conf.sampling_retry_times + 1
     quotas: List[Tuple[str, int, int]] = []
     used = 0
     for c, p in zip(int_cols, int_props):
@@ -130,7 +173,8 @@ def conditional_negative_sample(
         used += q
     n_free = max(k - used, 0)
 
-    parts = []
+    # candidate pool per quota part: [b, q * R] in draw order
+    pools: List[Tuple[jax.Array, int]] = []
     keys = jax.random.split(key, len(quotas) + 1)
     for (kind, c, q), kk in zip(quotas, keys[:-1]):
         if q <= 0:
@@ -139,10 +183,35 @@ def conditional_negative_sample(
         pv = (pos_int_attrs[:, c].astype(col.vals_sorted.dtype)
               if kind == "int"
               else pos_float_attrs[:, c].astype(col.vals_sorted.dtype))
-        fb = base_draw(kk, (b, q))
+        fb = base_draw(kk, (b, q * R))
         k2 = jax.random.fold_in(kk, 1)
-        parts.append(_sample_matching(col, pv, q, k2, fb))
-    if n_free > 0 or not parts:
-        parts.append(base_draw(keys[-1], (b, max(n_free, k - used))))
-    out = jnp.concatenate(parts, axis=1)
-    return out[:, :k]
+        pools.append((_sample_matching(col, pv, q * R, k2, fb), q))
+    if n_free > 0 or not pools:
+        nf = max(n_free, k - used)
+        pools.append((base_draw(keys[-1], (b, nf * R)), nf))
+
+    # one membership probe over all pools (one sharded bisection + psum
+    # on a partitioned store instead of one per quota part)
+    all_pool = jnp.concatenate([p for p, _ in pools], axis=1)
+    if batch_share:
+        # exclusion set = the batch's positive dsts (:112-116)
+        bad = _batch_member(pos_dst, all_pool)
+    else:
+        # seed's true neighbors + its own positive dst (:122-127)
+        bad = _reject_neighbors(et, seeds, all_pool, reverse=reverse)
+        bad = bad | (all_pool == pos_dst[:, None])
+
+    picked: List[jax.Array] = []
+    off = 0
+    for pool, q in pools:
+        m = pool.shape[1]
+        ok = ~bad[:, off:off + m]
+        off += m
+        if unique:
+            if picked:
+                prev = jnp.concatenate(picked, axis=1)
+                ok = ok & ~jnp.any(
+                    pool[:, :, None] == prev[:, None, :], axis=-1)
+            ok = ok & ~_mark_pool_dups(pool, ok)
+        picked.append(_first_q_acceptable(pool, ok, q))
+    return jnp.concatenate(picked, axis=1)[:, :k]

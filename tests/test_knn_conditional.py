@@ -117,6 +117,102 @@ def test_conditional_negative_matches_category(cond_graph):
         assert share >= 6, (i, share, cats[neg[i]], cats[dstids[i]])
 
 
+@pytest.fixture
+def dense_graph(tmp_path):
+    """Every node links to ALL others except the 6 ids following it —
+    a negative draw without rejection is ~75% likely to be a true
+    neighbor, so membership rejection is observable.  Retry budget is
+    raised for the duration (the same knob the reference tunes on dense
+    graphs, GLOBAL_FLAG(SamplingRetryTimes))."""
+    from graph_learn_tpu.config import conf
+    n = 24
+    node = tmp_path / "nodes"
+    edge = tmp_path / "edges"
+    with open(node, "w") as f:
+        f.write("id:int64\tfeature:string\n")
+        for i in range(n):
+            f.write("%d\t%d\n" % (i, i % 2))
+    with open(edge, "w") as f:
+        f.write("src_id:int64\tdst_id:int64\n")
+        for i in range(n):
+            for j in range(n):
+                if j != i and (j - i) % n > 6:
+                    f.write("%d\t%d\n" % (i, j))
+    g = gl.Graph()
+    g.node(str(node), node_type="item",
+           decoder=gl.Decoder(attr_types=["int"], attr_dims=[4]))
+    g.edge(str(edge), edge_type=("item", "item", "rel"),
+           decoder=gl.Decoder())
+    old = conf.sampling_retry_times
+    conf.sampling_retry_times = 20
+    yield g.init()
+    conf.sampling_retry_times = old
+
+
+def _nbr_sets(g):
+    et = g.store.edge_table("rel")
+    nbrs = {}
+    for s, d in zip(et.src.tolist(), et.dst.tolist()):
+        nbrs.setdefault(s, set()).add(d)
+    return nbrs
+
+
+def _run_where(g, k, condition, batch=12):
+    seed = g.E("rel").batch(batch).alias("seed")
+    src = seed.outV().alias("src")
+    seed.inV().alias("dst")
+    (src.outNeg("rel").sample(k).by("random")
+     .where("dst", condition).alias("neg"))
+    out = gl.Dataset(seed.values(), window=1).next()
+    return (np.asarray(out["src"].ids), np.asarray(out["dst"].ids),
+            np.asarray(out["neg"].ids))
+
+
+def test_conditional_negatives_reject_neighbors(dense_graph):
+    """Zero drawn negatives are neighbors of their seed (or the positive
+    dst itself) on a dense graph — the reference excludes both before
+    drawing (conditional_negative_sampler.cc:120-127)."""
+    nbrs = _nbr_sets(dense_graph)
+    src, dst, neg = _run_where(dense_graph, 3,
+                               {"int_cols": [0], "int_props": [1.0]})
+    for i in range(len(src)):
+        for v in neg[i]:
+            assert v not in nbrs[src[i]], (i, v, src[i])
+            assert v != dst[i]
+
+
+def test_conditional_unique_no_duplicates(dense_graph):
+    """unique=True: no within-row duplicates among the drawn negatives
+    (reference inserts accepted draws into nbr_set, :147-151)."""
+    src, dst, neg = _run_where(dense_graph, 4, {"unique": True})
+    nbrs = _nbr_sets(dense_graph)
+    for i in range(len(src)):
+        assert len(set(neg[i].tolist())) == 4, (i, neg[i])
+        for v in neg[i]:
+            assert v not in nbrs[src[i]] and v != dst[i]
+
+
+def test_conditional_batch_share(dense_graph):
+    """batch_share=True: the exclusion set is the batch's positive dsts
+    (not per-seed neighbors) — no negative equals ANY positive dst in the
+    batch (conditional_negative_sampler.cc:112-116)."""
+    src, dst, neg = _run_where(dense_graph, 3, {"batch_share": True})
+    batch_dst = set(dst.tolist())
+    for i in range(len(src)):
+        for v in neg[i]:
+            assert v not in batch_dst, (i, v)
+
+
+def test_where_rejects_unknown_condition_key(dense_graph):
+    from graph_learn_tpu.errors import InvalidArgumentError
+    seed = dense_graph.E("rel").batch(4).alias("seed")
+    src = seed.outV().alias("src")
+    seed.inV().alias("dst")
+    with pytest.raises(InvalidArgumentError):
+        (src.outNeg("rel").sample(2).by("random")
+         .where("dst", {"bogus": 1}))
+
+
 def test_ivfpq_recall():
     from graph_learn_tpu.ops.knn import IVFPQIndex
     data, _ = _clustered(n=400, d=16)
