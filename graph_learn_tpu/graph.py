@@ -218,6 +218,30 @@ class Graph:
         self.store = GraphStore()
         self._initialized = False
 
+    # --- snapshot/restore (reference: DGS checkpoint.py:44-197) --------
+    def save(self, path: str) -> "Graph":
+        """Snapshot the BUILT store to ``path/`` — restart restores it
+        with :meth:`load` without touching the source TSVs."""
+        if not self._initialized:
+            raise InvalidArgumentError("save() requires an initialized graph")
+        from graph_learn_tpu.core.snapshot import save_store
+        save_store(self.store, path)
+        return self
+
+    @classmethod
+    def load(cls, path: str, mmap: bool = True) -> "Graph":
+        """Cold-start from a :meth:`save` snapshot (IO-bound: arrays are
+        memory-mapped; no TSV parse, no id remap)."""
+        from graph_learn_tpu.core.snapshot import load_store
+        g = cls()
+        g.store = load_store(path, mmap=mmap)
+        for t, nt in g.store.nodes.items():
+            g._node_decoders[t] = nt.decoder
+        for t, et in g.store.edges.items():
+            g._edge_decoders[t] = et.decoder
+        g._initialized = True
+        return g
+
     # --- decoders / topology ------------------------------------------
     def get_node_decoder(self, node_type: str) -> Decoder:
         return self._node_decoders.get(node_type, Decoder())

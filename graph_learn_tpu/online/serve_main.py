@@ -49,9 +49,15 @@ def _decoder(spec: dict) -> Decoder:
 
 
 def graph_from_config(cfg: dict):
-    """Build and init a Graph from the config's nodes/edges sections."""
+    """Build and init a Graph from the config's nodes/edges sections —
+    or restore a built-store snapshot (``"snapshot": "/path"``), skipping
+    TSV ingest entirely (reference: DGS worker restore from RocksDB
+    backups, checkpoint.py:44-197); the update pump then replays streamed
+    deltas on top."""
     from graph_learn_tpu.graph import Graph
     from graph_learn_tpu.graph import Mask
+    if cfg.get("snapshot"):
+        return Graph.load(cfg["snapshot"])
     g = Graph()
     for n in cfg.get("nodes", []):
         mask = getattr(Mask, n["mask"].upper()) if n.get("mask") else None
@@ -136,10 +142,15 @@ def main(argv=None):
     ap.add_argument("--config", required=True, help="config JSON path")
     ap.add_argument("--port", type=int, default=None,
                     help="override config port")
+    ap.add_argument("--snapshot", default=None,
+                    help="restore the built store from a Graph.save() "
+                         "directory instead of ingesting TSVs")
     args = ap.parse_args(argv)
     cfg = json.load(open(args.config))
     if args.port is not None:
         cfg["port"] = args.port
+    if args.snapshot is not None:
+        cfg["snapshot"] = args.snapshot
     serve(cfg, block=True)
 
 

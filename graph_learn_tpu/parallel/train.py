@@ -47,29 +47,41 @@ def make_partitioned_plan(query: Query, mesh: Mesh, stables,
 
     from graph_learn_tpu.config import conf
     from graph_learn_tpu.core.sharding import Striped, owner_routing
+    from graph_learn_tpu.core.values import SubGraphVal
 
     axis = stables.axis
     nsh = stables.num_shards
     routing = routing or conf.partition_routing
     n_data = mesh.shape.get("data", 1)
 
+    # SubGraph × data parallelism: each data shard runs an INDEPENDENT
+    # induction over its local seeds (reference: every client batch is an
+    # independent induction against the same distributed store,
+    # subgraph_sampler.cc:27-80).  The per-shard SubGraphVals come back
+    # STACKED — every leaf (node_ids, edge_index, num_nodes, ...) gains a
+    # leading [n_data] axis; consumers vmap/scan over it.
     has_subgraph = any(n.kind == "subgraph" for n in query.dag.nodes)
-    if has_subgraph and n_data > 1:
-        from graph_learn_tpu.errors import InvalidArgumentError
-        raise InvalidArgumentError(
-            "SubGraph induction on the partitioned store requires a "
-            "trivial data axis (a SubGraph is one value per batch; it "
-            "cannot be concatenated from per-data-shard inductions). "
-            "Use n_data=1 with the graph axis, or replicated tables for "
-            "data parallelism.")
+    stack_sg = has_subgraph and n_data > 1
+
+    _is_striped = lambda x: isinstance(x, Striped)
+
+    def _stack_subgraphs(out):
+        if not stack_sg:
+            return out
+        return {
+            a: (jax.tree.map(
+                lambda x: x if _is_striped(x) else x[None],
+                v, is_leaf=_is_striped) if isinstance(v, SubGraphVal)
+                else v)
+            for a, v in out.items()}
 
     def body(stacked, repl, seeds, key):
         block = jax.tree.map(lambda x: x[0], stacked)  # graph-axis block
         view = stables.view(block, repl)
         if routing == "owner":
             with owner_routing(axis, nsh):
-                return _execute(query, view, seeds, key)
-        return _execute(query, view, seeds, key)
+                return _stack_subgraphs(_execute(query, view, seeds, key))
+        return _stack_subgraphs(_execute(query, view, seeds, key))
 
     def abstract_body(stacked, repl, seeds, key):
         # structure discovery: same trace with collectives stubbed out.
@@ -79,9 +91,8 @@ def make_partitioned_plan(query: Query, mesh: Mesh, stables,
         view = stables.view(block, repl)
         with owner_routing(axis, nsh if routing == "owner" else 1,
                            abstract=True):
-            return _execute(query, view, seeds, key)
+            return _stack_subgraphs(_execute(query, view, seeds, key))
 
-    _is_striped = lambda x: isinstance(x, Striped)
     _cache = {}
 
     def build(seeds, key):
@@ -95,9 +106,10 @@ def make_partitioned_plan(query: Query, mesh: Mesh, stables,
                 return Striped(local=P(("data", axis)),
                                logical_shape=x.logical_shape)
             if x.ndim == 0:
-                # rank-0 leaves (SubGraph num_nodes/num_edges) are
-                # replicated: n_data == 1 here (guard above) and every
-                # graph shard computes the identical psum-stitched value
+                # rank-0 leaves (SubGraph num_nodes/num_edges when
+                # n_data == 1) are replicated: every graph shard computes
+                # the identical psum-stitched value.  With n_data > 1
+                # subgraph leaves carry the stacked leading axis instead.
                 return P()
             return P("data")
 
@@ -106,13 +118,16 @@ def make_partitioned_plan(query: Query, mesh: Mesh, stables,
                          in_specs=(P(axis), P(), P("data"), P()),
                          out_specs=out_specs, check_vma=False)
 
-    def _reassemble(x):
+    def _reassemble(x, in_sg: bool = False):
         if not _is_striped(x):
             return x
         # logical_shape is the per-data-shard result shape; globally the
-        # leading dim scales by the data-axis size
-        shp = x.logical_shape
-        return x.local.reshape((shp[0] * n_data,) + tuple(shp[1:]))
+        # leading dim scales by the data-axis size — concatenated for
+        # batch-like leaves, stacked [n_data, ...] inside SubGraphVals
+        shp = tuple(x.logical_shape)
+        if in_sg and stack_sg:
+            return x.local.reshape((n_data,) + shp)
+        return x.local.reshape((shp[0] * n_data,) + shp[1:])
 
     def plan(seeds, key, stacked=None, repl=None):
         """stacked/repl default to the closed-over stables'; pass them
@@ -125,7 +140,11 @@ def make_partitioned_plan(query: Query, mesh: Mesh, stables,
         out = _cache[ck](stacked if stacked is not None else stables.stacked,
                          repl if repl is not None else stables.repl,
                          seeds, key)
-        return jax.tree.map(_reassemble, out, is_leaf=_is_striped)
+        return {
+            a: jax.tree.map(
+                partial(_reassemble, in_sg=isinstance(v, SubGraphVal)),
+                v, is_leaf=_is_striped)
+            for a, v in out.items()}
 
     return plan
 

@@ -78,6 +78,34 @@ def test_ego_gat_conv():
     assert out.shape == (3, 5)
 
 
+def test_ego_gat_chunked_matches_unchunked():
+    """The lax.map seed-chunked neighbor block (incl. ragged padding and
+    the checkpointed backward) is exact vs the single-chunk path."""
+    rng = np.random.default_rng(3)
+    b, e, din, dout, H = 21, 4, 6, 5, 2  # 21 % chunk(8) != 0: pads
+    x = jnp.asarray(rng.standard_normal((b, din)), jnp.float32)
+    nbr = jnp.asarray(rng.standard_normal((b * e, din)), jnp.float32)
+    full = EgoGATConv(in_dim=din, out_dim=dout, num_head=H, seed_chunk=0)
+    chunk = EgoGATConv(in_dim=din, out_dim=dout, num_head=H, seed_chunk=8)
+    p = full.init(jax.random.key(0), x, nbr, e)
+    np.testing.assert_allclose(np.asarray(full.apply(p, x, nbr, e)),
+                               np.asarray(chunk.apply(p, x, nbr, e)),
+                               rtol=1e-5, atol=1e-5)
+    gf = jax.grad(lambda pp: full.apply(pp, x, nbr, e).sum())(p)
+    gc = jax.grad(lambda pp: chunk.apply(pp, x, nbr, e).sum())(p)
+    jax.tree.map(lambda a, c: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-5), gf, gc)
+    # hetero dims + bias + dropout path also runs chunked
+    het = EgoGATConv(in_dim=(din, din + 1), out_dim=dout, num_head=H,
+                     use_bias=True, attn_dropout=0.5, seed_chunk=8)
+    nbr2 = jnp.asarray(rng.standard_normal((b * e, din + 1)), jnp.float32)
+    p2 = het.init({"params": jax.random.key(1),
+                   "dropout": jax.random.key(2)}, x, nbr2, e, training=True)
+    out = het.apply(p2, x, nbr2, e, training=True,
+                    rngs={"dropout": jax.random.key(3)})
+    assert out.shape == (b, dout) and bool(jnp.isfinite(out).all())
+
+
 def test_ego_gin_conv():
     x = jnp.ones((3, 4))
     nbr = jnp.ones((6, 4))

@@ -443,3 +443,93 @@ def test_sharded_subgraph_matches_single_device(wts_graph, need_dist):
     _tree_equal(single, sharded)
     # the sharded induction found real edges, not a degenerate empty set
     assert int(np.asarray(sharded["sg"].num_edges)) > 0
+
+
+def test_sharded_subgraph_data_parallel_stacks(wts_graph):
+    """SubGraph × data parallelism (VERDICT r4 Missing #2): on a
+    (data=2, graph=4) mesh each data shard induces INDEPENDENTLY over its
+    local seeds and the SubGraphVal comes back stacked [n_data, ...] —
+    each stacked slice bitwise-equals the single-device induction of that
+    shard's seeds (reference: per-batch independent inductions,
+    subgraph_sampler.cc:27-80)."""
+    g = wts_graph
+    q = (g.V("v", mask=gl.Mask.TRAIN).batch(8).alias("src")
+         .SubGraph("e", nbr_cap=8, need_dist=True).alias("sg")
+         .values())
+    mesh = make_mesh(n_data=2, n_graph=4)
+    stables = build_sharded_tables(q, 4).place(mesh)
+    plan = make_partitioned_plan(q, mesh, stables)
+    seeds = jnp.arange(8, dtype=jnp.int32)
+    key = jax.random.key(5)
+    with jax.set_mesh(mesh):
+        out = jax.jit(plan)(seeds, key)
+    sg = out["sg"]
+    tables = q.device_tables()
+    for d in range(2):
+        half = seeds[d * 4:(d + 1) * 4]
+        single = jax.jit(lambda t, s, k: _execute(q, t, s, k))(
+            tables, half, key)["sg"]
+        stacked_slice = jax.tree.map(lambda x: x[d], sg)
+        _tree_equal(single, stacked_slice)
+    assert int(np.asarray(sg.num_edges).sum()) > 0
+
+
+def test_sharded_subgraph_data_parallel_train_step(wts_graph):
+    """A SEAL-style train step over the 2x4 mesh with stacked SubGraphs:
+    the loss (vmapped GCN readout over the stacked axis) equals the mean
+    of the two single-device per-shard losses with the same params."""
+    from graph_learn_tpu.nn.models.sub_models import GCN
+    from graph_learn_tpu.nn.subgraph_data import BatchGraph
+
+    g = wts_graph
+    q = (g.V("v", mask=gl.Mask.TRAIN).batch(8).alias("src")
+         .SubGraph("e", nbr_cap=8, need_dist=False).alias("sg")
+         .values())
+    mesh = make_mesh(n_data=2, n_graph=4)
+    stables = build_sharded_tables(q, 4).place(mesh)
+    model = GCN([6, 8, 2])
+
+    def sg_loss_one(p, sgv, km):
+        bg = BatchGraph.from_subgraphs(
+            jax.tree.map(lambda x: x[None], sgv))
+        x = jnp.where(bg.node_mask[:, None], sgv.nodes.float_attrs, 0.0)
+        h = model.apply(p, bg.edge_index, x,
+                        edge_mask=bg.edge_mask)
+        return jnp.mean(jnp.where(bg.node_mask[:, None], h, 0.0) ** 2)
+
+    def loss_fn(model_, p, batch, km, training):
+        sg = batch["sg"]
+        if sg.node_ids.ndim == 2:  # stacked [n_data, ...]
+            losses = jax.vmap(lambda s: sg_loss_one(p, s, km))(sg)
+            return jnp.mean(losses)
+        return sg_loss_one(p, sg, km)
+
+    # init params from a single-device batch
+    tables = q.device_tables()
+    seeds = jnp.arange(8, dtype=jnp.int32)
+    key = jax.random.key(3)
+    single0 = jax.jit(lambda t, s, k: _execute(q, t, s, k))(
+        tables, seeds[:4], key)
+    bg0 = BatchGraph.from_subgraphs(
+        jax.tree.map(lambda x: x[None], single0["sg"]))
+    params = model.init(jax.random.key(0), bg0.edge_index,
+                        single0["sg"].nodes.float_attrs,
+                        edge_mask=bg0.edge_mask)
+
+    opt = optax.sgd(0.1)
+    step = make_partitioned_train_step(q, model, loss_fn, opt, mesh,
+                                       stables)
+    opt_state = opt.init(params)
+    with jax.set_mesh(mesh):
+        _, _, loss = step(params, opt_state, seeds, key)
+
+    # oracle: same key => plan's internal split reproduces; compare the
+    # mean of per-shard single-device losses
+    ks, km = jax.random.split(key)
+    want = np.mean([
+        float(loss_fn(model, params,
+                      jax.jit(lambda t, s, k: _execute(q, t, s, k))(
+                          tables, seeds[d * 4:(d + 1) * 4], ks),
+                      km, True))
+        for d in range(2)])
+    np.testing.assert_allclose(float(loss), want, rtol=1e-6, atol=1e-6)
