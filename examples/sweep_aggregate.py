@@ -49,7 +49,10 @@ def make_sweep_kernel(n_rows, n_groups, R, D=128):
     from jax.experimental.pallas import tpu as pltpu
 
     n_slabs = -(-n_rows // R)
-    assert R <= (1 << 12)
+    # the hit word unpacks local_row as `v & (R - 1)` — valid only for
+    # power-of-two slab sizes, and the group id rides in bits >= 12
+    assert R <= (1 << 12) and R & (R - 1) == 0, \
+        "--slab must be a power of two <= 4096"
 
     def kernel(starts_ref, packed_ref, slab_ref, out_ref):
         s = pl.program_id(0)
@@ -174,7 +177,8 @@ def main():
     R = args.slab
     n_slabs = -(-n_rows // R)
     G = N // k
-    assert G < (1 << 18) and R <= (1 << 12)
+    assert G < (1 << 18) and R <= (1 << 12) and R & (R - 1) == 0, \
+        "--slab must be a power of two <= 4096"
     print("[sweep] rows=%d N=%d k=%d slabs=%d out=%.1fMB slab=%.1fMB "
           "hitlist=%.1fKB(smem)" % (n_rows, N, k, n_slabs,
                                     G * D * 4 / 1e6, R * D * 4 / 1e6,

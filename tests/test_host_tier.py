@@ -99,6 +99,22 @@ def test_tier_caches_do_not_leak(g):
     assert not any(l.committed for l in jax.tree.leaves(dev_tables))
 
 
+def test_placement_key_sees_default_device_context():
+    """Direct regression for the semi-internal config read behind the
+    tier caches (r4 advisor): ``_placement_key()`` must return a
+    DIFFERENT key inside ``jax.default_device(cpu)`` than outside — a
+    JAX upgrade that breaks the context-local visibility of
+    ``jax.config.jax_default_device`` would collapse the host/device
+    cache keys and leak host-pinned tables into device-tier consumers."""
+    from graph_learn_tpu.core.store import _placement_key
+    outside = _placement_key()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        inside = _placement_key()
+    assert inside != outside, (inside, outside)
+    assert _placement_key() == outside
+
+
 def test_bad_tier_rejected(g):
     with pytest.raises(gl.InvalidArgumentError):
         gl.Dataset(_query(g), tier="gpu")
