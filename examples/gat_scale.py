@@ -65,8 +65,14 @@ def main():
     q = (g.V("item").batch(b).alias("src")
          .outV("rel").sample(k1).by("random").alias("hop1")
          .outV("rel").sample(k2).by("random").alias("hop2").values())
+    # GLT_GAT_CHUNKS: comma list of EgoGATConv seed_chunk values to sweep
+    # in ONE process (0 = unchunked — the r4 baseline form; default 512
+    # per the segment-softmax probe; param shapes are chunk-independent
+    # so the same init serves every sweep point)
+    chunks = [int(x) for x in
+              os.environ.get("GLT_GAT_CHUNKS", "512").split(",")]
     model = EgoGAT([cfg["feat_dim"], cfg["hidden"], cfg["classes"]],
-                   dec, num_heads=[8, 1])
+                   dec, num_heads=[8, 1], seed_chunk=chunks[0])
     t0 = time.perf_counter()
     tables = q.device_tables()
     jax.block_until_ready(tables)
@@ -132,25 +138,29 @@ def main():
 
     variants = (0, 1, 2) if os.environ.get("GLT_GAT_VARIANTS") is None \
         else tuple(int(x) for x in os.environ["GLT_GAT_VARIANTS"].split(","))
-    for pre in variants:
-        fn = make_step(pre)
-        params, opt_state = params0, opt_state0
-        t0 = time.perf_counter()
-        params, opt_state, loss = fn(params, opt_state, tables,
-                                     jax.random.key(7))
-        _ = float(loss)
-        warm = time.perf_counter() - t0
-        rounds = max(steps // K, 1)
-        t0 = time.perf_counter()
-        for i in range(rounds):
+    for chunk in chunks:
+        model = EgoGAT([cfg["feat_dim"], cfg["hidden"], cfg["classes"]],
+                       dec, num_heads=[8, 1], seed_chunk=chunk)
+        for pre in variants:
+            fn = make_step(pre)
+            params, opt_state = params0, opt_state0
+            t0 = time.perf_counter()
             params, opt_state, loss = fn(params, opt_state, tables,
-                                         jax.random.key(100 + i))
-        _ = float(loss)  # true barrier (PERF.md rule 6)
-        dt = time.perf_counter() - t0
-        eps = edges_per_step * K * rounds / dt
-        ms = dt / (K * rounds) * 1e3
-        print("pre=%d  %.1fM edges/s  %.2f ms/step  (warm %.1fs)"
-              % (pre, eps / 1e6, ms, warm), flush=True)
+                                         jax.random.key(7))
+            _ = float(loss)
+            warm = time.perf_counter() - t0
+            rounds = max(steps // K, 1)
+            t0 = time.perf_counter()
+            for i in range(rounds):
+                params, opt_state, loss = fn(params, opt_state, tables,
+                                             jax.random.key(100 + i))
+            _ = float(loss)  # true barrier (PERF.md rule 6)
+            dt = time.perf_counter() - t0
+            eps = edges_per_step * K * rounds / dt
+            ms = dt / (K * rounds) * 1e3
+            print("chunk=%d pre=%d  %.1fM edges/s  %.2f ms/step  "
+                  "(warm %.1fs)"
+                  % (chunk, pre, eps / 1e6, ms, warm), flush=True)
 
 
 if __name__ == "__main__":

@@ -140,12 +140,14 @@ def EgoGraphSAGE(dims: Sequence[int], decoder: Decoder,
 def EgoGAT(dims: Sequence[int], decoder: Decoder,
            num_heads: Optional[Sequence[int]] = None,
            attn_dropout: float = 0.0, act: Callable = nn.relu,
-           dropout: float = 0.0) -> EgoGNN:
+           dropout: float = 0.0, seed_chunk: Optional[int] = None) -> EgoGNN:
     layers = []
     for i in range(len(dims) - 1):
         conv = EgoGATConv(in_dim=dims[i], out_dim=dims[i + 1],
                           num_head=(num_heads[i] if num_heads else 1),
-                          attn_dropout=attn_dropout, name="gat_%d" % i)
+                          attn_dropout=attn_dropout, name="gat_%d" % i,
+                          **({} if seed_chunk is None
+                             else {"seed_chunk": seed_chunk}))
         layers.append(EgoLayer(convs=[conv] * (len(dims) - 1 - i),
                                name="layer_%d" % i))
     return EgoGNN(layers=layers, encoder=FeatureEncoder(decoder),
