@@ -105,7 +105,9 @@ class EgoGATConv(nn.Module):
     num_head: int = 1
     use_bias: bool = False
     attn_dropout: float = 0.0
-    seed_chunk: int = 512  # 0 = never chunk
+    # measured on the 62M-edge frontier config (examples/gat_scale.py r5):
+    # 256 -> 13.8M e/s, 512 -> 13.1M, 1024 -> 8.8M, unchunked -> 4.9M
+    seed_chunk: int = 256  # 0 = never chunk
 
     @nn.compact
     def __call__(self, x, neighbor, expand, training: bool = False):
