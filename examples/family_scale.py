@@ -279,6 +279,11 @@ def main():
 
     runners = {"rgcn": run_rgcn, "bipartite": run_bipartite}
     for fam in args.families.split(","):
+        if not args.small:
+            # bipartite's outNeg needs the candidate-pool tables that the
+            # minimal profile drops
+            conf.storage_profile = ("full" if fam == "bipartite"
+                                    else "minimal")
         eps, ms, warm = runners[fam](cfg, args.small)
         print("%-10s %.1fM edges/s  %.2f ms/step  (warm %.1fs)"
               % (fam, eps / 1e6, ms, warm), flush=True)

@@ -108,6 +108,12 @@ def negative_sample(et: DeviceEdgeTable, seeds: jax.Array, k: int,
     """
     pool = et.unique_src if reverse else et.unique_dst
     pool_cdf = et.unique_src_outdeg_cdf if reverse else et.unique_dst_indeg_cdf
+    if pool is None:
+        from graph_learn_tpu.errors import InvalidArgumentError
+        raise InvalidArgumentError(
+            "negative sampling needs the candidate-pool tables, which "
+            "storage_profile='minimal' drops — use the default profile "
+            "for queries with outNeg/inNeg")
     b = seeds.shape[0]
     if strategy == "random":
         # parity: no neighbor rejection (random_negative_sampler.cc:53-59)
