@@ -39,7 +39,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--steps", type=int, default=30)
-    ap.add_argument("--window", type=int, default=4)
+    ap.add_argument("--window", default="1,2,4")
     args = ap.parse_args()
     cfg = dict(bench.CFG)
     if args.small:
@@ -109,29 +109,30 @@ def main():
     _ = float(loss)  # true barrier
     t_dev = (time.perf_counter() - t0) / steps
 
-    # --- t_loop: the real pipelined loop -------------------------------
-    ds2 = gl.Dataset(q, tier="host", seed=3, window=args.window)
-    params, opt_state = params0, optimizer.init(params0)
-    key = jax.random.key(4)
-    for _ in range(3):
-        bt, _ = ds2.next_with_count()
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, bt, sub)
-    _ = float(loss)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        bt, _ = ds2.next_with_count()
-        key, sub = jax.random.split(key)
-        params, opt_state, loss = step(params, opt_state, bt, sub)
-    _ = float(loss)
-    t_loop = (time.perf_counter() - t0) / steps
-
-    factor = (t_host + t_dev) / t_loop
+    # --- t_loop: the real pipelined loop, per window width -------------
     ceiling = (t_host + t_dev) / max(t_host, t_dev)
-    print("t_host %.1f ms  t_dev %.1f ms  t_loop %.1f ms  "
-          "overlap %.2fx (ceiling %.2fx)  loop %.2fM edges/s"
-          % (t_host * 1e3, t_dev * 1e3, t_loop * 1e3, factor, ceiling,
-             edges_per_step / t_loop / 1e6), flush=True)
+    print("t_host %.1f ms  t_dev %.1f ms  (overlap ceiling %.2fx)"
+          % (t_host * 1e3, t_dev * 1e3, ceiling), flush=True)
+    for w in [int(x) for x in str(args.window).split(",")]:
+        ds2 = gl.Dataset(q, tier="host", seed=3, window=w)
+        params, opt_state = params0, optimizer.init(params0)
+        key = jax.random.key(4)
+        for _ in range(3):
+            bt, _ = ds2.next_with_count()
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, bt, sub)
+        _ = float(loss)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            bt, _ = ds2.next_with_count()
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = step(params, opt_state, bt, sub)
+        _ = float(loss)
+        t_loop = (time.perf_counter() - t0) / steps
+        factor = (t_host + t_dev) / t_loop
+        print("window=%d  t_loop %.1f ms  overlap %.2fx  %.2fM edges/s"
+              % (w, t_loop * 1e3, factor, edges_per_step / t_loop / 1e6),
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -105,9 +105,19 @@ class EgoGATConv(nn.Module):
     num_head: int = 1
     use_bias: bool = False
     attn_dropout: float = 0.0
-    # measured on the 62M-edge frontier config (examples/gat_scale.py r5):
-    # 256 -> 13.8M e/s, 512 -> 13.1M, 1024 -> 8.8M, unchunked -> 4.9M
-    seed_chunk: int = 256  # 0 = never chunk
+    # seed_chunk: None = AUTO (chunk at 256 only when the combined head
+    # width is large enough that the projections spill — measured on the
+    # 62M-edge frontier config, examples/gat_scale.py r5:
+    #   hidden 256 x 8 heads: 256 -> 13.8M e/s, 512 -> 13.1M,
+    #                         1024 -> 8.8M, unchunked -> 4.9M
+    #   hidden 16 x 8 heads (reference width): unchunked 26.3M beats
+    #                         chunked 19.3M — lax.map overhead with no
+    #                         wide traffic to save);
+    # 0 = never chunk; any int = explicit chunk size
+    seed_chunk: Optional[int] = None
+
+    _AUTO_CHUNK = 256
+    _AUTO_MIN_WIDTH = 1024  # num_head * out_dim threshold for auto mode
 
     @nn.compact
     def __call__(self, x, neighbor, expand, training: bool = False):
@@ -165,6 +175,9 @@ class EgoGATConv(nn.Module):
             return (coef[..., None] * nh.reshape(H, S, e, W)).sum(axis=2)
 
         S = self.seed_chunk
+        if S is None:
+            wide = self.num_head * self.out_dim >= self._AUTO_MIN_WIDTH
+            S = self._AUTO_CHUNK if wide else 0
         if not S or b <= S:
             out = block(neighbor, el, drop)  # [H, b, W]
         else:

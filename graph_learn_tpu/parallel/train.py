@@ -59,7 +59,10 @@ def make_partitioned_plan(query: Query, mesh: Mesh, stables,
     # independent induction against the same distributed store,
     # subgraph_sampler.cc:27-80).  The per-shard SubGraphVals come back
     # STACKED — every leaf (node_ids, edge_index, num_nodes, ...) gains a
-    # leading [n_data] axis; consumers vmap/scan over it.
+    # leading [n_data] axis; consumers either vmap over it or pass the
+    # stacked value straight to BatchGraph.from_subgraphs (which treats
+    # the leading axis as its sample dim, exactly the per-sample
+    # batching semantics of the reference's BatchGraph.from_graphs).
     has_subgraph = any(n.kind == "subgraph" for n in query.dag.nodes)
     stack_sg = has_subgraph and n_data > 1
 
