@@ -257,6 +257,23 @@ class Graph:
     def stats(self, qid: int) -> dict:
         return self._get("/admin/query/stats?qid=%d" % qid)
 
+    def install_model(self, name: str, artifact) -> dict:
+        """Install an exported sample+forward artifact (the Java
+        client's TF-serving predict role, gsl_client/.../predict/):
+        ``artifact`` is a server-local path or raw exported bytes."""
+        if isinstance(artifact, (bytes, bytearray)):
+            import base64
+            return self._post("/admin/model", {
+                "name": name,
+                "artifact_b64": base64.b64encode(bytes(artifact)).decode()})
+        return self._post("/admin/model", {"name": name,
+                                           "artifact": artifact})
+
+    def predict(self, model: str, ids, seed: int = 0):
+        return self._post("/predict", {"model": model,
+                                       "ids": [int(i) for i in ids],
+                                       "seed": int(seed)})["outputs"]
+
     def update(self, nodes: Optional[dict] = None,
                edges: Optional[dict] = None) -> dict:
         return self._post("/admin/update", {"nodes": nodes or {},

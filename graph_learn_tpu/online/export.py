@@ -45,9 +45,14 @@ def export_serving_fn(fn: Callable, example_args, path: Optional[str] = None,
 
 def load_serving_fn(path_or_bytes) -> Callable:
     """Deserialize an exported serving function; returns ``call(*args)``."""
+    return load_serving_exported(path_or_bytes).call
+
+
+def load_serving_exported(path_or_bytes) -> "_jx.Exported":
+    """Deserialize to the full Exported (call + in_avals for shape
+    introspection — the serving tier reads the traced batch size)."""
     blob = path_or_bytes
     if isinstance(path_or_bytes, (str, os.PathLike)):
         with open(path_or_bytes, "rb") as f:
             blob = f.read()
-    exp = _jx.deserialize(blob)
-    return exp.call
+    return _jx.deserialize(blob)

@@ -155,6 +155,26 @@ class ServingServer:
                         with outer._lock:
                             outer.service.refresh()
                         self._send(200, {"ok": True})
+                    elif u.path == "/admin/model":
+                        # install an exported sample+forward artifact
+                        # (online/export.py StableHLO) by server-local
+                        # path or inline base64 bytes
+                        import base64
+                        art = (base64.b64decode(body["artifact_b64"])
+                               if "artifact_b64" in body
+                               else body["artifact"])
+                        with outer._lock:
+                            m = outer.service.install_model(body["name"],
+                                                            art)
+                        self._send(200, {"name": m.name,
+                                         "batch": m.batch})
+                    elif u.path == "/predict":
+                        out = outer.service.predict(
+                            body["model"], body["ids"],
+                            seed=int(body.get("seed", 0)))
+                        import jax as _jax
+                        self._send(200, {"outputs": _jax.tree.map(
+                            lambda x: np.asarray(x).tolist(), out)})
                     else:
                         self._send(404, {"error": "unknown route"})
                 except Exception as e:
@@ -208,6 +228,21 @@ class ServingClient:
     def run(self, qid: int, ids) -> dict:
         return self._post("/serving", {
             "qid": qid, "ids": np.asarray(ids).tolist()})
+
+    def install_model(self, name: str, artifact) -> dict:
+        """artifact: server-local path (str) or exported bytes."""
+        if isinstance(artifact, (bytes, bytearray)):
+            import base64
+            return self._post("/admin/model", {
+                "name": name,
+                "artifact_b64": base64.b64encode(bytes(artifact)).decode()})
+        return self._post("/admin/model", {"name": name,
+                                           "artifact": artifact})
+
+    def predict(self, model: str, ids, seed: int = 0):
+        return self._post("/predict", {
+            "model": model, "ids": np.asarray(ids).tolist(),
+            "seed": int(seed)})["outputs"]
 
     def update(self, nodes: Optional[dict] = None,
                edges: Optional[dict] = None) -> dict:

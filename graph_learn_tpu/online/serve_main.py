@@ -91,6 +91,9 @@ def serve(cfg: dict, block: bool = True):
     for q in cfg.get("queries", []):
         server.service.install(plan_to_query(g, q["plan"]),
                                micro_batch=int(q.get("micro_batch", 256)))
+    for m in cfg.get("models", []):
+        # exported sample+forward artifacts served at POST /predict
+        server.service.install_model(m["name"], m["artifact"])
     stop_evt = threading.Event()
     pump = None
     topic_cfg = cfg.get("update_topic")

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from graph_learn_tpu.config import conf
-from graph_learn_tpu.errors import InvalidArgumentError
+from graph_learn_tpu.errors import InvalidArgumentError, NotFoundError
 from graph_learn_tpu.gsl.compile import Query, _execute
 
 _SHUTDOWN = object()
@@ -305,6 +305,43 @@ class InstalledQuery:
         }
 
 
+class InstalledModel:
+    """An exported sample+forward program served by name.
+
+    The role the reference splits between DGS (query serving) and an
+    external TF-serving fleet fed by the Java client's predict module
+    (reference: gsl_client/.../predict/, examples/tf/serving/
+    export_serving_model.py): here the WHOLE program — GSL sampling +
+    feature encode + model forward — is ONE exported StableHLO artifact
+    (online/export.py) with signature ``call(seeds:int32[b], key)``, so
+    the worker answers model predictions without any Python model code.
+    """
+
+    def __init__(self, name: str, artifact):
+        from graph_learn_tpu.online.export import load_serving_exported
+        self.name = name
+        exp = load_serving_exported(artifact)
+        self._call = exp.call
+        self.batch = int(exp.in_avals[0].shape[0])
+
+    def predict(self, ids, seed: int = 0):
+        import jax
+
+        ids = np.asarray(ids, np.int32)
+        if ids.size == 0 or ids.size > self.batch:
+            raise InvalidArgumentError(
+                "predict takes 1..%d ids (the exported batch size), got %d"
+                % (self.batch, ids.size))
+        n = ids.size
+        padded = np.concatenate(
+            [ids, np.full(self.batch - n, ids[0], np.int32)])
+        out = self._call(jnp.asarray(padded), jax.random.key(seed))
+        # trim any leading batch axis back to the requested ids
+        return jax.tree.map(
+            lambda x: np.asarray(x[:n]) if getattr(x, "ndim", 0) >= 1
+            and x.shape[0] == self.batch else np.asarray(x), out)
+
+
 class QueryService:
     """Install/run surface (coordinator /admin/query + serving workers).
 
@@ -323,6 +360,7 @@ class QueryService:
             mesh = make_mesh(n_data=1, n_graph=graph_shards)
         self.mesh = mesh
         self._queries: Dict[int, InstalledQuery] = {}
+        self._models: Dict[str, InstalledModel] = {}
         self._next = 0
 
     def install(self, query: Query, micro_batch: int = 256) -> int:
@@ -330,6 +368,16 @@ class QueryService:
         self._next += 1
         self._queries[qid] = InstalledQuery(self, qid, query, micro_batch)
         return qid
+
+    def install_model(self, name: str, artifact) -> InstalledModel:
+        m = InstalledModel(name, artifact)
+        self._models[name] = m
+        return m
+
+    def predict(self, name: str, ids, seed: int = 0):
+        if name not in self._models:
+            raise NotFoundError("unknown model %r" % name)
+        return self._models[name].predict(ids, seed=seed)
 
     def run(self, qid: int, ids) -> dict:
         return self._queries[qid].run(ids)

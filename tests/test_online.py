@@ -543,3 +543,55 @@ def test_partitioned_incremental_refresh_uploads_delta_only(tmp_path):
     finally:
         conf.storage_profile = prev_profile
         svc.close()
+
+
+def test_model_predict_over_http(g, tmp_path):
+    """POST /predict serves an exported sample+forward artifact by name —
+    the role the reference delegates to an external TF-serving fleet fed
+    by the Java client's predict module (gsl_client/.../predict/,
+    examples/tf/serving/export_serving_model.py), collapsed into the
+    worker: one StableHLO program answers raw-id predictions."""
+    import jax
+    import jax.numpy as jnp
+    from graph_learn_tpu.gsl.compile import _execute
+    from graph_learn_tpu.online.export import export_serving_fn
+    from graph_learn_tpu.online.http import ServingClient, ServingServer
+
+    q = (g.V("item").batch(4).alias("src")
+         .outV("rel").sample(3).by("topk").alias("hop1")
+         .values())
+    tables = q.device_tables()
+
+    def serve(seeds, key):
+        out = _execute(q, tables, seeds, key)
+        nbr = jnp.mean(out["hop1"].float_attrs, axis=1)
+        return jnp.concatenate([out["src"].float_attrs, nbr], axis=-1)
+
+    seeds = jnp.arange(4, dtype=jnp.int32)
+    key = jax.random.key(0)
+    path = str(tmp_path / "embed.stablehlo")
+    blob = export_serving_fn(serve, (seeds, key), path=path)
+
+    srv = ServingServer(g).start()
+    try:
+        c = ServingClient("http://%s:%d" % (srv.host, srv.port))
+        r = c.install_model("embed", path)  # server-local path
+        assert r == {"name": "embed", "batch": 4}
+        got = np.asarray(c.predict("embed", [1, 2, 3]))
+        want = np.asarray(serve(jnp.asarray([1, 2, 3, 1], jnp.int32),
+                                jax.random.key(0)))[:3]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+        # inline-bytes install (no shared filesystem needed)
+        c.install_model("embed2", blob)
+        got2 = np.asarray(c.predict("embed2", [5], seed=3))
+        assert got2.shape == (1, 8)
+
+        # error surfaces: unknown model / too many ids
+        import urllib.error
+        for bad in ({"model": "nope", "ids": [1]},
+                    {"model": "embed", "ids": list(range(9))}):
+            with pytest.raises(urllib.error.HTTPError):
+                c._post("/predict", bad)
+    finally:
+        srv.stop()

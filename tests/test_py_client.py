@@ -152,3 +152,35 @@ def test_standalone_client_end_to_end(client_mod, g):
         assert 39 in out2["h1"]["ids"][0]
     finally:
         srv.stop()
+
+
+def test_standalone_client_predict(client_mod, g, tmp_path):
+    """The standalone client's install_model/predict (the Java client's
+    TF-serving predict role) round-trips an exported artifact."""
+    import jax
+    import jax.numpy as jnp
+    from graph_learn_tpu.gsl.compile import _execute
+    from graph_learn_tpu.online.export import export_serving_fn
+    from graph_learn_tpu.online.http import ServingServer
+
+    q = (g.V("item").batch(4).alias("src")
+         .outV("rel").sample(3).by("topk").alias("hop1").values())
+    tables = q.device_tables()
+
+    def serve(seeds, key):
+        out = _execute(q, tables, seeds, key)
+        return jnp.mean(out["hop1"].float_attrs, axis=1)
+
+    seeds = jnp.arange(4, dtype=jnp.int32)
+    blob = export_serving_fn(serve, (seeds, jax.random.key(0)))
+    srv = ServingServer(g).start()
+    try:
+        cg = client_mod.Graph(srv.host, srv.port)
+        r = cg.install_model("emb", bytes(blob))
+        assert r["batch"] == 4
+        got = np.asarray(cg.predict("emb", [2, 7]))
+        want = np.asarray(serve(jnp.asarray([2, 7, 2, 2], jnp.int32),
+                                jax.random.key(0)))[:2]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    finally:
+        srv.stop()

@@ -86,3 +86,42 @@ def test_serve_end_to_end_with_update_pump(cfg, tmp_path):
         assert deg0 is None or deg0 >= 0
     finally:
         stop()
+
+
+def test_serve_main_models_config(cfg, tmp_graph_dir, tmp_path):
+    """A "models" config entry serves an exported artifact at /predict
+    straight from worker boot (the deployable predict surface)."""
+    import json as _json
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+    from graph_learn_tpu.gsl.compile import _execute
+    from graph_learn_tpu.online.export import export_serving_fn
+
+    g0 = graph_from_config(cfg)
+    q = (g0.V("item").batch(2).alias("src")
+         .outV("rel").sample(2).by("topk").alias("h1").values())
+    tables = q.device_tables()
+
+    def serve_fn(seeds, key):
+        out = _execute(q, tables, seeds, key)
+        return jnp.mean(out["h1"].float_attrs, axis=1)
+
+    path = str(tmp_path / "m.stablehlo")
+    export_serving_fn(serve_fn, (jnp.arange(2, dtype=jnp.int32),
+                                 jax.random.key(0)), path=path)
+    cfg2 = dict(cfg, models=[{"name": "m", "artifact": path}])
+    cfg2.pop("update_topic")
+    server, stop = serve(cfg2, block=False)
+    try:
+        base = "http://%s:%d" % (server.host, server.port)
+        req = urllib.request.Request(
+            base + "/predict",
+            data=_json.dumps({"model": "m", "ids": [1]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = _json.loads(r.read())["outputs"]
+        assert np.asarray(out).shape == (1, 4)
+    finally:
+        stop()
