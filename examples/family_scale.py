@@ -116,14 +116,25 @@ def run_rgcn(cfg, small):
                          training=False)
     optimizer = optax.adam(1e-3)
     K = cfg.get("scan_steps", 20)
+    # GLT_RGCN_DEFER=1: pre-reduce the deepest R^2 hops OUT of the grad
+    # region (the EgoSAGE frontier lever applied to RGCN, PERF.md r3) —
+    # grads are identical (tests/test_deferred_agg.py RGCN section)
+    defer = os.environ.get("GLT_RGCN_DEFER") == "1"
+    deep_aliases = aliases[-R * R:]
 
     @jax.jit
     def multi(params, opt_state, tables_, key):
+        ft = tables_["nodes"]["item"].float_attrs
+
         def one(carry, k):
             p, o = carry
             ks, km, ksd = jax.random.split(k, 3)
             seeds = jax.random.randint(ksd, (b,), 0, n)
             batch = _execute(q, tables_, seeds, ks)
+            if defer:
+                from graph_learn_tpu.nn.data import pre_aggregate_hop
+                for a in deep_aliases:
+                    batch = pre_aggregate_hop(batch, a, ft, op="mean")
 
             def lf(pp):
                 logits = model.apply(pp, make_ego(batch), training=True,

@@ -254,9 +254,15 @@ class EgoRGCNConv(nn.Module):
     agg_type: str = "mean"
     use_bias: bool = False
 
+    # the per-relation fanout reduction this conv applies — what
+    # pre-aggregated ``neighbors_agg`` entries must contain
+    @property
+    def deferred_op(self) -> str:
+        return self.agg_type
+
     @nn.compact
-    def __call__(self, x, neighbors: Sequence[jax.Array], expand):
-        assert len(neighbors) == self.num_relations
+    def __call__(self, x, neighbors: Optional[Sequence[jax.Array]], expand,
+                 neighbors_agg: Optional[Sequence[jax.Array]] = None):
         din = _pair(self.in_dim)
         R, I, O = self.num_relations, din[1], self.out_dim
 
@@ -268,7 +274,14 @@ class EgoRGCNConv(nn.Module):
                 return jnp.sum(t, axis=1)
             return jnp.max(t, axis=1)
 
-        h = jnp.stack([agg(n) for n in neighbors], axis=0)  # [R, b, I]
+        if neighbors_agg is not None:
+            # per-relation pre-reduced neighbors (deferred deepest-hop
+            # fast path, same contract as EgoSAGEConv.neighbor_agg)
+            assert len(neighbors_agg) == R
+            h = jnp.stack(list(neighbors_agg), axis=0)  # [R, b, I]
+        else:
+            assert len(neighbors) == R
+            h = jnp.stack([agg(n) for n in neighbors], axis=0)  # [R, b, I]
 
         init = nn.initializers.lecun_normal()
         if self.num_bases is not None:

@@ -189,12 +189,47 @@ class EgoRGCN(nn.Module):
         R = self.num_relations
         enc = FeatureEncoder(self.decoder)
         values = [ego.src] + list(ego.hops)
+        K = len(self.dims) - 1
+
+        # deferred deepest level (same contract as EgoGNN._prepare): when
+        # every deepest-level hop carries DeferredRows/PreAggregatedRows,
+        # consume the per-group reductions straight from the table — the
+        # raw [*, kK, D] rows never enter the fwd/bwd boundary (the lever
+        # that set the EgoSAGE frontier record, PERF.md r3).
+        n_deep = R ** K
+        deep_vals, deep_aggs = values[-n_deep:], None
+        if all(isinstance(v.float_attrs, (DeferredRows, PreAggregatedRows))
+               for v in deep_vals):
+            op = self.agg_type
+            commute = _encoder_commutes(enc, op)
+            pre = [v for v in deep_vals
+                   if isinstance(v.float_attrs, PreAggregatedRows)]
+            if pre and (not commute or any(v.float_attrs.op != op
+                                           for v in pre)):
+                raise InvalidArgumentError(
+                    "PreAggregatedRows cannot feed EgoRGCN (agg_type=%r, "
+                    "encoder commutes=%s) — pre-aggregate with the conv's "
+                    "op and a float-only affine encoder" % (op, commute))
+            if commute:
+                deep_aggs = []
+                for v in deep_vals:
+                    fa = v.float_attrs
+                    agg_raw = (fa.agg if isinstance(fa, PreAggregatedRows)
+                               else fa.group_agg(op))
+                    deep_aggs.append(enc(Nodes(
+                        ids=jnp.zeros((agg_raw.shape[0],), jnp.int32),
+                        float_attrs=agg_raw, type_name=v.type_name)))
+                values = values[:-n_deep]
+            else:
+                values = values[:-n_deep] + [
+                    v.replace(float_attrs=v.float_attrs.materialize())
+                    for v in deep_vals]
+
         h = [enc(v) for v in values]
         # group flat hop list into levels: level l has R^l tensors
         levels: List[List[jax.Array]] = [[h[0]]]
         idx = 1
-        K = len(self.dims) - 1
-        for l in range(1, K + 1):
+        for l in range(1, K + 1 - (deep_aggs is not None)):
             cnt = R ** l
             levels.append(h[idx:idx + cnt])
             idx += cnt
@@ -210,8 +245,14 @@ class EgoRGCN(nn.Module):
                 outs = []
                 for g in range(R ** l):
                     x = levels[l][g]
-                    nbrs = [levels[l + 1][g * R + r] for r in range(R)]
-                    outs.append(conv(x, nbrs, expands[l]))
+                    if i == 0 and deep_aggs is not None and l == K - 1:
+                        outs.append(conv(
+                            x, None, expands[l],
+                            neighbors_agg=[deep_aggs[g * R + r]
+                                           for r in range(R)]))
+                    else:
+                        nbrs = [levels[l + 1][g * R + r] for r in range(R)]
+                        outs.append(conv(x, nbrs, expands[l]))
                 new_levels.append(outs)
             levels = new_levels
             if i < K - 1:

@@ -205,3 +205,72 @@ def test_deferred_under_jit_and_grad(sorted_on):
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+# --- EgoRGCN deferred deepest level (r5) ---------------------------------
+
+def _rgcn_pair(d=8, b=6, k1=3, k2=4, R=2, seed=5, pre=False):
+    """(plain ego, deferred ego, decoder) for a 2-relation 2-hop batch.
+
+    Hop layout per EgoRGCN: [r0_h1, r1_h1, r0r0_h2, r0r1_h2, r1r0_h2,
+    r1r1_h2]; the deepest R^2 hops carry DeferredRows (or
+    PreAggregatedRows when pre=True)."""
+    from graph_learn_tpu.nn.data import PreAggregatedRows
+
+    rng = np.random.default_rng(seed)
+    table = jnp.asarray(rng.standard_normal((200, d), np.float32))
+
+    def nodes(shape):
+        ids = jnp.asarray(rng.integers(0, 200, shape).astype(np.int32))
+        return Nodes(ids=ids, float_attrs=table[ids], type_name="item")
+
+    src = nodes((b,))
+    lvl1 = [nodes((b, k1)) for _ in range(R)]
+    lvl2 = [nodes((b, k1, k2)) for _ in range(R * R)]
+    dec = Decoder(attr_types=["float"] * d)
+    plain = EgoGraph(src=src, hops=lvl1 + lvl2, nbr_nums=(k1, k2))
+
+    def defer(v):
+        if pre:
+            agg = gather_group_agg(table, v.ids, op="mean")
+            return v.replace(float_attrs=PreAggregatedRows(agg, "mean"))
+        return v.replace(float_attrs=DeferredRows(table=table, idx=v.ids))
+
+    deferred = EgoGraph(src=src, hops=lvl1 + [defer(v) for v in lvl2],
+                        nbr_nums=(k1, k2))
+    return plain, deferred, dec
+
+
+@pytest.mark.parametrize("pre", [False, True])
+@pytest.mark.parametrize("mode", ["plain", "bases", "blocks"])
+def test_ego_rgcn_deferred_matches_plain(sorted_on, mode, pre):
+    """The deferred deepest level (per-relation pre-reduced neighbors)
+    is exact vs the materialised path for every decomposition."""
+    from graph_learn_tpu.nn.models.ego_gnn import EgoRGCN
+
+    plain, deferred, dec = _rgcn_pair(pre=pre)
+    kw = {"bases": {"num_bases": 2}, "blocks": {"num_blocks": 2},
+          "plain": {}}[mode]
+    model = EgoRGCN(dims=[8, 16, 4], decoder=dec, num_relations=2, **kw)
+    params = model.init(jax.random.key(0), plain, training=False)
+    out_plain = model.apply(params, plain, training=False)
+    out_def = model.apply(params, deferred, training=False)
+    np.testing.assert_allclose(np.asarray(out_def), np.asarray(out_plain),
+                               rtol=2e-5, atol=2e-5)
+    # grads through the deferred path match too
+    gp = jax.grad(lambda p: model.apply(p, plain).sum())(params)
+    gd = jax.grad(lambda p: model.apply(p, deferred).sum())(params)
+    jax.tree.map(lambda a, c: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(c), rtol=2e-4, atol=2e-4), gp, gd)
+
+
+def test_ego_rgcn_preaggregated_op_mismatch_raises(sorted_on):
+    import graph_learn_tpu as gl
+    from graph_learn_tpu.nn.models.ego_gnn import EgoRGCN
+
+    plain, deferred, dec = _rgcn_pair(pre=True)
+    model = EgoRGCN(dims=[8, 16, 4], decoder=dec, num_relations=2,
+                    agg_type="sum")  # pre-agg is mean
+    params = model.init(jax.random.key(0), plain, training=False)
+    with pytest.raises(gl.InvalidArgumentError):
+        model.apply(params, deferred, training=False)
