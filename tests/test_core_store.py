@@ -436,3 +436,33 @@ def test_snapshot_timestamped_domain_preserved(tmp_path):
     # absolute times recoverable
     assert int(et2.timestamps[0]) * et2.ts_scale + et2.ts_base == \
         1_700_000_000
+
+
+def test_snapshot_multival_and_hashed_attrs(tmp_path):
+    """Snapshot round-trips the full attr lattice: hashed string col,
+    multival col (padded + lengths), numeric float col."""
+    n = 15
+    with open(tmp_path / "n", "w") as f:
+        f.write("id:int64\tfeature:string\n")
+        for i in range(n):
+            f.write("%d\tcat%d:%0.2f:a|b|c%d\n" % (i, i % 3, i * 0.5, i))
+    with open(tmp_path / "e", "w") as f:
+        f.write("src_id:int64\tdst_id:int64\n")
+        for i in range(n):
+            f.write("%d\t%d\n" % (i, (i + 1) % n))
+    dec = gl.Decoder(attr_types=[("string", 50), "float",
+                                 ("string", 20, True)],
+                     attr_dims=[8, None, 8])
+    g = (gl.Graph().node(str(tmp_path / "n"), "v", dec)
+         .edge(str(tmp_path / "e"), ("v", "v", "e"), gl.Decoder())).init()
+    g.save(str(tmp_path / "snap"))
+    g2 = gl.Graph.load(str(tmp_path / "snap"))
+    a, b = g.store.node_table("v"), g2.store.node_table("v")
+    np.testing.assert_array_equal(a.int_attrs, b.int_attrs)
+    np.testing.assert_array_equal(a.float_attrs, b.float_attrs)
+    np.testing.assert_array_equal(a.multival_attrs, b.multival_attrs)
+    np.testing.assert_array_equal(a.multival_lens, b.multival_lens)
+    # restored decoder drives the same feature spec
+    assert [t for t in b.decoder.attr_types] == \
+        [tuple(t) if isinstance(t, (list, tuple)) else t
+         for t in dec.attr_types]

@@ -184,3 +184,56 @@ def test_standalone_client_predict(client_mod, g, tmp_path):
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
     finally:
         srv.stop()
+
+
+def test_standalone_client_where_conditional(client_mod, tmp_path):
+    """.where() conditional negatives through the standalone client's
+    plan protocol: the installed query draws category-matching,
+    neighbor-rejected negatives server-side."""
+    n = 24
+    with open(tmp_path / "n", "w") as f:
+        f.write("id:int64\tfeature:string\n")
+        for i in range(n):
+            f.write("%d\t%d\n" % (i, i % 2))
+    with open(tmp_path / "e", "w") as f:
+        f.write("src_id:int64\tdst_id:int64\n")
+        for i in range(n):
+            for j in range(n):
+                if j != i and (j - i) % n > 6:
+                    f.write("%d\t%d\n" % (i, j))
+    gg = (gl.Graph()
+          .node(str(tmp_path / "n"), "item",
+                gl.Decoder(attr_types=["int"], attr_dims=[4]))
+          .edge(str(tmp_path / "e"), ("item", "item", "rel"),
+                gl.Decoder())).init()
+    from graph_learn_tpu.config import conf
+    from graph_learn_tpu.online.http import ServingServer
+    old = conf.sampling_retry_times
+    conf.sampling_retry_times = 20
+    srv = ServingServer(gg).start()
+    try:
+        cg = client_mod.Graph(srv.host, srv.port)
+        # standalone builder has no endpoint nodes; condition on the
+        # seed itself (target=src): negatives match the seed's category
+        q = (cg.V("item").batch(8).alias("src")
+             .outNeg("rel").sample(3).by("random")
+             .where("src", {"int_cols": [0], "int_props": [1.0],
+                            "unique": True}).alias("neg"))
+        qid = cg.install(q, micro_batch=8)
+        out = cg.run(qid, list(range(8)))
+        neg = np.asarray(out["neg"]["ids"])
+        src = np.asarray(out["src"]["ids"])
+        cats = np.arange(n) % 2
+        nbrs = {}
+        et = gg.store.edge_table("rel")
+        for s, t in zip(et.src.tolist(), et.dst.tolist()):
+            nbrs.setdefault(s, set()).add(t)
+        for i in range(len(src)):
+            # conditioned on the SEED's own category here (target=src)
+            assert (cats[neg[i]] == cats[src[i]]).all()
+            assert len(set(neg[i].tolist())) == 3  # unique
+            for v in neg[i]:
+                assert v not in nbrs[src[i]] and v != src[i]
+    finally:
+        srv.stop()
+        conf.sampling_retry_times = old
