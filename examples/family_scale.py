@@ -274,6 +274,93 @@ def run_bipartite(cfg, small):
                    rounds, edges_per_step)
 
 
+def run_temporal(cfg, small):
+    """Temporal EgoSAGE: event seeds, every hop samples edges STRICTLY
+    before the propagated event time with the edge_weight strategy (the
+    exact prefix-CDF temporal path, ops/temporal.py; reference: temporal
+    ts filters auto-injected per hop, gsl/dag_node.py:357-392)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    import graph_learn_tpu as gl
+    from graph_learn_tpu.core.schema import Decoder
+    from graph_learn_tpu.core.store import EdgeTable, NodeTable
+    from graph_learn_tpu.graph import Graph
+    from graph_learn_tpu.gsl.compile import _execute
+    from graph_learn_tpu.nn.data import EgoGraph
+    from graph_learn_tpu.nn.loss import supervised_softmax_loss
+    from graph_learn_tpu.nn.models.ego_gnn import EgoGraphSAGE
+
+    rng = np.random.default_rng(2)
+    n, d = cfg["n_nodes"], cfg["feat_dim"]
+    e = n * cfg["avg_degree"]
+    node_dec = Decoder(labeled=True, attr_types=["float"] * d)
+    g = Graph()
+    g.store.add_node_table(NodeTable(
+        "item", node_dec, np.arange(n, dtype=np.int64),
+        float_attrs=rng.standard_normal((n, d), np.float32),
+        labels=rng.integers(0, cfg["classes"], n).astype(np.int32)))
+    g.store.add_edge_table(EdgeTable(
+        "rel", "item", "item", Decoder(weighted=True, timestamped=True),
+        src=rng.integers(0, n, e), dst=rng.integers(0, n, e),
+        num_src_nodes=n, num_dst_nodes=n,
+        weights=rng.random(e).astype(np.float32),
+        timestamps=rng.integers(0, 1_000_000, e)))
+    g._node_decoders["item"] = node_dec
+    g._initialized = True
+
+    b = cfg["batch"]
+    k1, k2 = cfg["fanout"] if not small else (4, 2)
+    seed = g.E("rel").batch(b).alias("ev")
+    src = seed.outV().alias("src")
+    (src.outV("rel").sample(k1).by("edge_weight").alias("h1")
+     .outV("rel").sample(k2).by("edge_weight").alias("h2"))
+    q = seed.values()
+    edges_per_step = b * (k1 + k1 * k2)
+
+    model = EgoGraphSAGE([d, cfg["hidden"], cfg["classes"]], node_dec,
+                         agg_type="gcn")
+    tables = q.device_tables()
+    jax.block_until_ready(tables)
+    ds = gl.Dataset(q, window=1)
+    b0 = ds.next()
+    ego0 = EgoGraph.from_query_result(b0, "src", ["h1", "h2"])
+    params0 = model.init(jax.random.key(0), ego0, training=False)
+    optimizer = optax.adam(1e-3)
+    K = cfg.get("scan_steps", 20)
+    n_e = g.store.edge_table("rel").num_edges
+
+    @jax.jit
+    def multi(params, opt_state, tables_, key):
+        def one(carry, k):
+            p, o = carry
+            ks, km, ksd = jax.random.split(k, 3)
+            seeds = jax.random.randint(ksd, (b,), 0, n_e)
+            batch = _execute(q, tables_, seeds, ks)
+
+            def lf(pp):
+                ego = EgoGraph.from_query_result(batch, "src",
+                                                 ["h1", "h2"])
+                logits = model.apply(pp, ego, training=True,
+                                     rngs={"dropout": km})
+                return supervised_softmax_loss(logits,
+                                               batch["src"].labels)
+
+            loss, grads = jax.value_and_grad(lf)(p)
+            u, o2 = optimizer.update(grads, o, p)
+            return (optax.apply_updates(p, u), o2), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            one, (params, opt_state), jax.random.split(key, K))
+        return params, opt_state, losses[-1]
+
+    rounds = max(cfg["steps"] // K, 1)
+    return _timeit(multi, params0, optimizer.init(params0), tables, K,
+                   rounds, edges_per_step)
+
+
 def main():
     from graph_learn_tpu.utils.platform import ensure_platform
     ensure_platform()
@@ -288,12 +375,15 @@ def main():
     if not args.small:
         conf.storage_profile = "minimal"
 
-    runners = {"rgcn": run_rgcn, "bipartite": run_bipartite}
+    runners = {"rgcn": run_rgcn, "bipartite": run_bipartite,
+               "temporal": run_temporal}
     for fam in args.families.split(","):
         if not args.small:
-            # bipartite's outNeg needs the candidate-pool tables that the
-            # minimal profile drops
-            conf.storage_profile = ("full" if fam == "bipartite"
+            # bipartite's outNeg needs the candidate-pool tables and
+            # temporal edge_weight needs the CDF tables — both dropped
+            # by the minimal profile
+            conf.storage_profile = ("full" if fam in ("bipartite",
+                                                      "temporal")
                                     else "minimal")
         eps, ms, warm = runners[fam](cfg, args.small)
         print("%-10s %.1fM edges/s  %.2f ms/step  (warm %.1fs)"
