@@ -8,14 +8,20 @@ Completes the per-family frontier cost table (VERDICT r4 #8): EgoSAGE
              basis decomposition num_bases=1 (reference
              examples/tf/ego_rgcn/train_supervised.py:51-116)
   bipartite  bipartite SAGE u2i: edge seeds on u-i (1.225M users / 1.225M
-             items, ~42M u-i + ~20M i-i edges), two-hop towers u-i/i-i +
-             2 negatives, in-batch softmax loss (reference
+             items, ~42M u-i + ~20M i-i edges), 1-layer towers + 2
+             negatives, in-batch softmax loss (reference
              examples/tf/ego_bipartite_sage/train.py:80-117)
+  temporal   temporal EgoSAGE: event seeds, every hop samples strictly
+             before the propagated event time (exact prefix-CDF
+             edge_weight, ops/temporal.py)
 
 Same measurement discipline as gat_scale.py: scanned K-step dispatches,
 tables device-resident, value-pull barriers (PERF.md rule 6).
+GLT_RGCN_DEFER=1 pre-reduces the RGCN deepest level out of the grad
+region (measured 49.7 -> 53.1M edges/s).
 
-Usage: python examples/family_scale.py [--small] [--families rgcn,bipartite]
+Usage: python examples/family_scale.py [--small]
+           [--families rgcn,bipartite,temporal]
 Writes one line per family: <family>  <eps> edges/s  <ms>/step
 """
 
@@ -369,7 +375,7 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
-    ap.add_argument("--families", default="rgcn,bipartite")
+    ap.add_argument("--families", default="rgcn,bipartite,temporal")
     args = ap.parse_args()
     cfg = dict(bench.CFG if args.small else bench.CFG_SCALE)
     if not args.small:

@@ -66,11 +66,11 @@ def main():
          .outV("rel").sample(k1).by("random").alias("hop1")
          .outV("rel").sample(k2).by("random").alias("hop2").values())
     # GLT_GAT_CHUNKS: comma list of EgoGATConv seed_chunk values to sweep
-    # in ONE process (0 = unchunked — the r4 baseline form; default 512
-    # per the segment-softmax probe; param shapes are chunk-independent
+    # in ONE process (0 = unchunked — the r4 baseline form; default 256 —
+    # the measured optimum; param shapes are chunk-independent
     # so the same init serves every sweep point)
     chunks = [int(x) for x in
-              os.environ.get("GLT_GAT_CHUNKS", "512").split(",")]
+              os.environ.get("GLT_GAT_CHUNKS", "256").split(",")]
     model = EgoGAT([cfg["feat_dim"], cfg["hidden"], cfg["classes"]],
                    dec, num_heads=[8, 1], seed_chunk=chunks[0])
     t0 = time.perf_counter()

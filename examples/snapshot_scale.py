@@ -46,6 +46,12 @@ def main():
           flush=True)
 
     if os.path.isdir(args.dir):
+        # only clobber a directory that IS a prior snapshot — never an
+        # arbitrary (e.g. mistyped) existing path
+        if not os.path.exists(os.path.join(args.dir, "manifest.json")):
+            raise SystemExit(
+                "--dir %r exists and is not a snapshot directory (no "
+                "manifest.json); refusing to delete it" % args.dir)
         shutil.rmtree(args.dir)
     t0 = time.perf_counter()
     g.save(args.dir)

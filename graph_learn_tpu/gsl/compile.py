@@ -421,6 +421,12 @@ def _exec_conditional_neg(query: Query, tables, node: DagNode, recs, flat,
     pool = et.unique_src if reverse else et.unique_dst
     pool_cdf = (et.unique_src_outdeg_cdf if reverse
                 else et.unique_dst_indeg_cdf)
+    if pool is None:
+        from graph_learn_tpu.errors import InvalidArgumentError
+        raise InvalidArgumentError(
+            "conditional negative sampling needs the candidate-pool and "
+            "membership tables, which storage_profile='minimal' drops — "
+            "use the default profile for queries with .where()")
 
     if node.base_strategy == "in_degree":
         base_draw = lambda k_, shape: _draw_cdf_ids(pool, pool_cdf, k_, shape)

@@ -58,6 +58,14 @@ def plan_to_query(graph, plan: dict):
                 continue
             if f in rec and rec[f] is not None:
                 setattr(node, f, rec[f])
+        if node.condition:
+            # same key validation the builder path applies in
+            # DagNode.where() — remote clients get the error, not
+            # silently-ignored typo'd condition keys
+            for kk in node.condition:
+                if kk not in DagNode._WHERE_KEYS:
+                    raise InvalidArgumentError(
+                        "condition %r is not supported." % kk)
         if node.alias_name:
             dag.register_alias(node.alias_name, node)
         by_nid[rec["nid"]] = node

@@ -318,3 +318,60 @@ def test_graph_search_sharded_api(tmp_graph_dir):
     np.testing.assert_array_equal(ids, ids1)
     np.testing.assert_allclose(dist, dist1, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(ids[:, 0], t.raw_ids[:3])
+
+
+def test_where_key_validation_applies_to_wire_plans(dense_graph):
+    """plan_to_query validates condition keys like DagNode.where() —
+    remote clients get the error, not silently-unconditioned negatives."""
+    from graph_learn_tpu.errors import InvalidArgumentError
+    from graph_learn_tpu.gsl.plan import plan_to_query, query_to_plan
+
+    seed = dense_graph.E("rel").batch(4).alias("seed")
+    src = seed.outV().alias("src")
+    seed.inV().alias("dst")
+    (src.outNeg("rel").sample(2).by("random")
+     .where("dst", {"int_cols": [0], "int_props": [1.0]}).alias("neg"))
+    plan = query_to_plan(seed.values())
+    # valid plan round-trips
+    plan_to_query(dense_graph, plan)
+    # typo'd key raises at install time
+    bad = {**plan, "nodes": [
+        dict(r, condition={"int_colz": [0]})
+        if r["strategy"] == "conditional" else r for r in plan["nodes"]]}
+    with pytest.raises(InvalidArgumentError, match="not supported"):
+        plan_to_query(dense_graph, bad)
+
+
+def test_where_minimal_profile_actionable_error(tmp_path):
+    """storage_profile='minimal' + .where(): the same actionable error as
+    plain outNeg, not a NoneType crash at trace time."""
+    import graph_learn_tpu as gl2
+    from graph_learn_tpu.config import conf as c2
+
+    n = 12
+    with open(tmp_path / "n", "w") as f:
+        f.write("id:int64\tfeature:string\n")
+        for i in range(n):
+            f.write("%d\t%d\n" % (i, i % 2))
+    with open(tmp_path / "e", "w") as f:
+        f.write("src_id:int64\tdst_id:int64\n")
+        for i in range(n):
+            f.write("%d\t%d\n" % (i, (i + 1) % n))
+    old = c2.storage_profile
+    c2.storage_profile = "minimal"
+    try:
+        g = (gl2.Graph()
+             .node(str(tmp_path / "n"), "item",
+                   gl2.Decoder(attr_types=["int"], attr_dims=[4]))
+             .edge(str(tmp_path / "e"), ("item", "item", "rel"),
+                   gl2.Decoder())).init()
+        seed = g.E("rel").batch(4).alias("seed")
+        src = seed.outV().alias("src")
+        seed.inV().alias("dst")
+        (src.outNeg("rel").sample(2).by("random")
+         .where("dst", {"int_cols": [0], "int_props": [1.0]})
+         .alias("neg"))
+        with pytest.raises(gl2.InvalidArgumentError, match="minimal"):
+            gl2.Dataset(seed.values(), window=1).next()
+    finally:
+        c2.storage_profile = old
