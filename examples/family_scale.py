@@ -367,6 +367,60 @@ def run_temporal(cfg, small):
                    rounds, edges_per_step)
 
 
+def run_walks(cfg, small):
+    """Random-walk generation at the frontier: deepwalk (p=q=1) and
+    node2vec (p=0.5, q=2) over the 62M store, scanned K batches per
+    dispatch.  Throughput counts walk TRANSITIONS (b * (walk_len-1)) —
+    the unit the reference's RandomWalk op produces
+    (random_walk.cc:30-75)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import graph_learn_tpu as gl  # noqa: F401
+    from graph_learn_tpu.ops.walk import node2vec_walk
+
+    g, dec = bench.build_graph_inmem(cfg)
+    dev = g.store.edge_table("rel").device()
+    b = cfg["batch"]
+    walk_len = 20 if not small else 8
+    n = cfg["n_nodes"]
+    K = cfg.get("scan_steps", 20)
+
+    results = {}
+    for label, p, qq in (("deepwalk", 1.0, 1.0), ("node2vec", 0.5, 2.0)):
+        # the CSR rides as a jit ARGUMENT — closed over, its tables can
+        # inline as HLO constants and blow the remote-compile body limit
+        @jax.jit
+        def multi(csr, key, _p=p, _q=qq):
+            def one(carry, k):
+                ks, ksd = jax.random.split(k)
+                seeds = jax.random.randint(ksd, (b,), 0, n)
+                w = node2vec_walk(csr, seeds, walk_len, ks,
+                                  p=_p, q=_q)
+                return carry + jnp.sum(w[:, -1].astype(jnp.int32)), None
+
+            acc, _ = jax.lax.scan(one, jnp.int32(0),
+                                  jax.random.split(key, K))
+            return acc
+
+        acc = multi(dev.out, jax.random.key(0))
+        _ = int(acc)  # warm + barrier
+        rounds = max(cfg["steps"] // K, 1)
+        t0 = time.perf_counter()
+        for i in range(rounds):
+            acc = multi(dev.out, jax.random.key(1 + i))
+        _ = int(acc)
+        dt = time.perf_counter() - t0
+        eps = b * (walk_len - 1) * K * rounds / dt
+        ms = dt / (K * rounds) * 1e3
+        print("walks/%-9s %.1fM transitions/s  %.2f ms/batch "
+              "(len %d, b %d)" % (label, eps / 1e6, ms, walk_len, b),
+              flush=True)
+        results[label] = eps
+    return None  # per-strategy lines already printed
+
+
 def main():
     from graph_learn_tpu.utils.platform import ensure_platform
     ensure_platform()
@@ -382,18 +436,19 @@ def main():
         conf.storage_profile = "minimal"
 
     runners = {"rgcn": run_rgcn, "bipartite": run_bipartite,
-               "temporal": run_temporal}
+               "temporal": run_temporal, "walks": run_walks}
     for fam in args.families.split(","):
         if not args.small:
-            # bipartite's outNeg needs the candidate-pool tables and
-            # temporal edge_weight needs the CDF tables — both dropped
-            # by the minimal profile
-            conf.storage_profile = ("full" if fam in ("bipartite",
-                                                      "temporal")
-                                    else "minimal")
-        eps, ms, warm = runners[fam](cfg, args.small)
-        print("%-10s %.1fM edges/s  %.2f ms/step  (warm %.1fs)"
-              % (fam, eps / 1e6, ms, warm), flush=True)
+            # bipartite's outNeg needs the candidate-pool tables,
+            # temporal edge_weight the CDF tables, and p/q walks the
+            # id-sorted membership tables — all dropped by the minimal
+            # profile
+            conf.storage_profile = ("minimal" if fam == "rgcn" else "full")
+        out = runners[fam](cfg, args.small)
+        if out is not None:
+            eps, ms, warm = out
+            print("%-10s %.1fM edges/s  %.2f ms/step  (warm %.1fs)"
+                  % (fam, eps / 1e6, ms, warm), flush=True)
 
 
 if __name__ == "__main__":

@@ -85,6 +85,14 @@ def node2vec_walk(csr: DeviceCSR, seeds: jax.Array, walk_len: int,
     """
     if p == 1.0 and q == 1.0:
         return deepwalk(csr, seeds, walk_len, key)
+    _local = csr.local if hasattr(csr, "local") else csr
+    if _local.nbr_sorted_tiled is None:
+        from graph_learn_tpu.errors import InvalidArgumentError
+        raise InvalidArgumentError(
+            "p/q-biased walks need the id-sorted membership tables, "
+            "which storage_profile='minimal' drops — use the default "
+            "profile for node2vec walks (deepwalk p=q=1 works on "
+            "minimal)")
     inv_p, inv_q = 1.0 / p, 1.0 / q
     max_w = max(inv_p, 1.0, inv_q)
     keys = jax.random.split(key, max(walk_len - 1, 1))
