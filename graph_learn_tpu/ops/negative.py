@@ -60,15 +60,8 @@ def _reject_neighbors(et: DeviceEdgeTable, seeds: jax.Array,
     if isinstance(csr, ShardedCSR):
         seeds, own = own_rows(csr.rows_per_shard, csr.axis, seeds)
         axis, csr = csr.axis, csr.local
-    start, end, _ = row_bounds_csr(csr, seeds)
-    b = seeds.shape[0]
-    extra = cands.shape[1:]
-    lo = start.reshape((b,) + (1,) * len(extra))
-    hi = end.reshape((b,) + (1,) * len(extra))
-    from graph_learn_tpu.ops.segment import _bisect_iters
-    hit = segment_member(None, lo, hi, cands,
-                         sorted2d=csr.nbr_sorted_tiled,
-                         iters=_bisect_iters(csr.max_degree))
+    from graph_learn_tpu.ops.segment import row_member
+    hit = row_member(csr, seeds, cands)
     if own is not None:
         hit = psum_owned(hit.astype(jnp.int32), own, axis) > 0
     return hit

@@ -139,6 +139,37 @@ def segment_member(sorted_ids: jax.Array, lo: jax.Array, hi: jax.Array,
     return in_range & found
 
 
+def row_member(csr, rows: jax.Array, queries: jax.Array) -> jax.Array:
+    """Is each query id in its row's neighbor list?  rows [b], queries
+    [b, ...extra] -> bool of queries' shape.
+
+    Window fast path (PERF.md rule 4 applied to MEMBERSHIP): when
+    ``max_degree <= 256`` the row's 2-3-tile neighbor window is fetched
+    once and all of the row's queries compare against it on-chip — no
+    sorted table, no log-d bisection chain (each bisection iteration is
+    a dependent [b, ...] tiled gather; the window is nwin independent
+    row fetches + one vectorised compare).  Hub-degree graphs fall back
+    to bisection over ``nbr_sorted_tiled``.
+    """
+    from graph_learn_tpu.ops.sampling import _nwin, fetch_window
+
+    start, end, _ = row_bounds_csr(csr, rows)
+    nwin = _nwin(csr)
+    extra = queries.shape[1:]
+    if nwin:
+        win, lane_abs = fetch_window(csr.nbr_tiled, start >> 7, nwin)
+        valid = (lane_abs >= start[:, None]) & (lane_abs < end[:, None])
+        qe = queries.reshape((rows.shape[0], -1))
+        hit = jnp.any((win[:, None, :] == qe[..., None])
+                      & valid[:, None, :], axis=-1)
+        return hit.reshape(queries.shape)
+    lo = start.reshape((rows.shape[0],) + (1,) * len(extra))
+    hi = end.reshape((rows.shape[0],) + (1,) * len(extra))
+    return segment_member(None, lo, hi, queries,
+                          sorted2d=csr.nbr_sorted_tiled,
+                          iters=_bisect_iters(csr.max_degree))
+
+
 def row_bounds(row_offsets: jax.Array, rows: jax.Array):
     """(start, end, degree) of each row, any batch shape."""
     start = row_offsets[rows]

@@ -85,14 +85,15 @@ def node2vec_walk(csr: DeviceCSR, seeds: jax.Array, walk_len: int,
     """
     if p == 1.0 and q == 1.0:
         return deepwalk(csr, seeds, walk_len, key)
+    from graph_learn_tpu.ops.sampling import _nwin
     _local = csr.local if hasattr(csr, "local") else csr
-    if _local.nbr_sorted_tiled is None:
+    if _local.nbr_sorted_tiled is None and _nwin(_local) == 0:
         from graph_learn_tpu.errors import InvalidArgumentError
         raise InvalidArgumentError(
-            "p/q-biased walks need the id-sorted membership tables, "
-            "which storage_profile='minimal' drops — use the default "
-            "profile for node2vec walks (deepwalk p=q=1 works on "
-            "minimal)")
+            "p/q-biased walks on a hub-degree graph (max_degree > 256) "
+            "need the id-sorted membership tables, which "
+            "storage_profile='minimal' drops — use the default profile "
+            "(deepwalk p=q=1 works on minimal)")
     inv_p, inv_q = 1.0 / p, 1.0 / q
     max_w = max(inv_p, 1.0, inv_q)
     keys = jax.random.split(key, max(walk_len - 1, 1))
@@ -111,10 +112,10 @@ def node2vec_walk(csr: DeviceCSR, seeds: jax.Array, walk_len: int,
         return jnp.where((deg > 0)[:, None], cand, jnp.int32(-1))
 
     def _membership(local, prev, cand):
-        pstart, pend, _ = row_bounds_csr(local, jnp.maximum(prev, 0))
-        return segment_member(None, pstart[:, None], pend[:, None], cand,
-                              sorted2d=local.nbr_sorted_tiled,
-                              iters=_bisect_iters(local.max_degree))
+        # windowed when max_degree admits it (PERF rule 4), bisection
+        # over the sorted row otherwise
+        from graph_learn_tpu.ops.segment import row_member
+        return row_member(local, jnp.maximum(prev, 0), cand)
 
     def step(carry, k):
         prev, cur = carry

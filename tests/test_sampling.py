@@ -251,3 +251,90 @@ def test_aggregators():
     out = embedding_agg(feats, ids, degs, "sum")
     np.testing.assert_allclose(np.asarray(out)[0], [3.0, 5.0, 7.0])
     np.testing.assert_allclose(np.asarray(out)[1], [9.0, 10.0, 11.0])
+
+
+def test_row_member_window_equals_bisection():
+    """row_member's windowed fast path (max_degree <= 256) returns the
+    identical membership verdicts as the sorted-row bisection path —
+    including padded tail rows, zero-degree rows, and hub fallback."""
+    from graph_learn_tpu.core.store import EdgeTable
+    from graph_learn_tpu.core.schema import Decoder
+    from graph_learn_tpu.ops.segment import (_bisect_iters, row_member,
+                                             segment_member,
+                                             row_bounds_csr)
+
+    rng = np.random.default_rng(4)
+    n = 60
+    src, dst = [], []
+    for i in range(n):
+        deg = 0 if i % 9 == 0 else int(rng.integers(1, 12))  # some empty
+        for _ in range(deg):
+            src.append(i)
+            dst.append(int(rng.integers(0, n)))
+    et = EdgeTable("e", "v", "v", Decoder(), src=np.array(src),
+                   dst=np.array(dst), num_src_nodes=n, num_dst_nodes=n)
+    csr = et.device().out
+    assert csr.max_degree <= 256  # window path active
+
+    rows = jnp.asarray(rng.integers(0, n, 32).astype(np.int32))
+    cands = jnp.asarray(rng.integers(0, n, (32, 5, 3)).astype(np.int32))
+    got = row_member(csr, rows, cands)
+
+    start, end, _ = row_bounds_csr(csr, rows)
+    want = segment_member(None, start[:, None, None], end[:, None, None],
+                          cands, sorted2d=csr.nbr_sorted_tiled,
+                          iters=_bisect_iters(csr.max_degree))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # sanity vs host truth
+    nbrs = {}
+    for s, d in zip(src, dst):
+        nbrs.setdefault(s, set()).add(d)
+    gotn = np.asarray(got)
+    for i in range(32):
+        r = int(rows[i])
+        for a in range(5):
+            for bq in range(3):
+                assert gotn[i, a, bq] == (int(cands[i, a, bq])
+                                          in nbrs.get(r, set()))
+
+
+def test_pq_walk_on_minimal_profile_low_degree(tmp_path):
+    """With the windowed membership path, p/q walks now run on a
+    minimal-profile store when max_degree <= 256 (no sorted table
+    needed); hub graphs still raise the actionable error."""
+    import graph_learn_tpu as gl2
+    from graph_learn_tpu.config import conf as c2
+
+    n = 30
+    with open(tmp_path / "n", "w") as f:
+        f.write("id:int64\n")
+        for i in range(n):
+            f.write("%d\n" % i)
+    with open(tmp_path / "e", "w") as f:
+        f.write("src_id:int64\tdst_id:int64\n")
+        for i in range(n):
+            for j in range(4):
+                f.write("%d\t%d\n" % (i, (i * 3 + j + 1) % n))
+    old = c2.storage_profile
+    c2.storage_profile = "minimal"
+    try:
+        g = (gl2.Graph().node(str(tmp_path / "n"), "v", gl2.Decoder())
+             .edge(str(tmp_path / "e"), ("v", "v", "e"),
+                   gl2.Decoder())).init()
+        q = (g.V("v").batch(4).alias("s")
+             .random_walk(5, edge_type="e", p=0.5, q=2.0).alias("w")
+             .values())
+        out = gl2.Dataset(q, window=1).next()
+        assert out["w"].ids.shape == (4, 5)
+        # every consecutive pair is a real edge
+        nbrs = {}
+        et = g.store.edge_table("e")
+        for s, d in zip(et.src.tolist(), et.dst.tolist()):
+            nbrs.setdefault(s, set()).add(d)
+        w = np.asarray(out["w"].ids)
+        for r in range(4):
+            for t in range(4):
+                if w[r, t + 1] >= 0:
+                    assert w[r, t + 1] in nbrs[w[r, t]]
+    finally:
+        c2.storage_profile = old
