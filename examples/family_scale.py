@@ -375,9 +375,7 @@ def run_walks(cfg, small):
     (random_walk.cc:30-75)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    import graph_learn_tpu as gl  # noqa: F401
     from graph_learn_tpu.ops.walk import node2vec_walk
 
     g, dec = bench.build_graph_inmem(cfg)
@@ -387,7 +385,6 @@ def run_walks(cfg, small):
     n = cfg["n_nodes"]
     K = cfg.get("scan_steps", 20)
 
-    results = {}
     for label, p, qq in (("deepwalk", 1.0, 1.0), ("node2vec", 0.5, 2.0)):
         # the CSR rides as a jit ARGUMENT — closed over, its tables can
         # inline as HLO constants and blow the remote-compile body limit
@@ -417,7 +414,7 @@ def run_walks(cfg, small):
         print("walks/%-9s %.1fM transitions/s  %.2f ms/batch "
               "(len %d, b %d)" % (label, eps / 1e6, ms, walk_len, b),
               flush=True)
-        results[label] = eps
+
     return None  # per-strategy lines already printed
 
 
@@ -439,11 +436,14 @@ def main():
                "temporal": run_temporal, "walks": run_walks}
     for fam in args.families.split(","):
         if not args.small:
-            # bipartite's outNeg needs the candidate-pool tables,
-            # temporal edge_weight the CDF tables, and p/q walks the
-            # id-sorted membership tables — all dropped by the minimal
-            # profile
-            conf.storage_profile = ("minimal" if fam == "rgcn" else "full")
+            # bipartite's outNeg needs the candidate-pool tables and
+            # temporal edge_weight the CDF tables — dropped by the
+            # minimal profile.  rgcn and walks run on minimal (p/q
+            # walks use the windowed membership probe at this store's
+            # max_degree, no sorted table needed)
+            conf.storage_profile = ("full" if fam in ("bipartite",
+                                                      "temporal")
+                                    else "minimal")
         out = runners[fam](cfg, args.small)
         if out is not None:
             eps, ms, warm = out

@@ -16,8 +16,9 @@ Strategy parity with the reference negative samplers
                   (see ops/conditional.py).
 
 Device translation: candidate draws are inverse-CDF bisections over
-precomputed tables; membership rejection = bisection over the seed's
-id-sorted neighbor row; "retry" = R parallel candidate rounds with
+precomputed tables; membership rejection = ops/segment.row_member
+(windowed row compare, or bisection over the id-sorted row on
+hub-degree graphs); "retry" = R parallel candidate rounds with
 first-acceptable selection (R = conf.sampling_retry_times).
 """
 
@@ -30,7 +31,6 @@ import jax.numpy as jnp
 
 from graph_learn_tpu.config import conf
 from graph_learn_tpu.core.store import DeviceEdgeTable, DeviceNodeTable
-from graph_learn_tpu.ops.segment import row_bounds_csr, segment_member
 
 
 def _draw_uniform_ids(cand_ids: jax.Array, key: jax.Array, shape):

@@ -24,8 +24,7 @@ import jax.numpy as jnp
 from graph_learn_tpu.config import conf
 from graph_learn_tpu.core.sharding import ShardedCSR, own_rows, psum_owned
 from graph_learn_tpu.core.store import DeviceCSR
-from graph_learn_tpu.ops.segment import (flat_gather, row_bounds_csr,
-                                         segment_member)
+from graph_learn_tpu.ops.segment import flat_gather, row_bounds_csr
 
 
 def _stitch_ids(vals: jax.Array, own: jax.Array, axis: str) -> jax.Array:
@@ -90,15 +89,15 @@ def node2vec_walk(csr: DeviceCSR, seeds: jax.Array, walk_len: int,
     if _local.nbr_sorted_tiled is None and _nwin(_local) == 0:
         from graph_learn_tpu.errors import InvalidArgumentError
         raise InvalidArgumentError(
-            "p/q-biased walks on a hub-degree graph (max_degree > 256) "
-            "need the id-sorted membership tables, which "
-            "storage_profile='minimal' drops — use the default profile "
-            "(deepwalk p=q=1 works on minimal)")
+            "p/q-biased walks need a neighbor-membership probe; at "
+            "max_degree %d the window path is unavailable (it needs "
+            "1 <= max_degree <= 256) and storage_profile='minimal' "
+            "dropped the id-sorted tables the bisection fallback needs "
+            "— use the default profile (deepwalk p=q=1 works on "
+            "minimal)" % _local.max_degree)
     inv_p, inv_q = 1.0 / p, 1.0 / q
     max_w = max(inv_p, 1.0, inv_q)
     keys = jax.random.split(key, max(walk_len - 1, 1))
-
-    from graph_learn_tpu.ops.segment import _bisect_iters
 
     def _candidates(local, cur, k1):
         """Uniform proposals for live walkers against ``local`` rows."""
