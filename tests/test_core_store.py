@@ -466,3 +466,21 @@ def test_snapshot_multival_and_hashed_attrs(tmp_path):
     assert [t for t in b.decoder.attr_types] == \
         [tuple(t) if isinstance(t, (list, tuple)) else t
          for t in dec.attr_types]
+
+
+def test_snapshot_version_and_missing_path_errors(tmp_graph_dir, tmp_path):
+    """Format-contract pins: a missing snapshot dir and a future format
+    version both raise actionable InvalidArgumentError (not KeyError)."""
+    import json
+
+    with pytest.raises(gl.InvalidArgumentError, match="no store snapshot"):
+        gl.Graph.load(str(tmp_path / "nope"))
+
+    g = _build(tmp_graph_dir)
+    snap = tmp_path / "snap"
+    g.save(str(snap))
+    man = json.load(open(snap / "manifest.json"))
+    man["version"] = 999
+    json.dump(man, open(snap / "manifest.json", "w"))
+    with pytest.raises(gl.InvalidArgumentError, match="version"):
+        gl.Graph.load(str(snap))
